@@ -1,0 +1,135 @@
+"""End-to-end environment tests: reset/step shapes, standing stability,
+termination, reward sign conventions."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+from vision4leg_tpu.robots import a1_params as P
+
+STATE_CFG = EnvConfig(
+    # state-only-baseline.json env_build (minus terrain, simplified to plane)
+    motor_control_mode="POSITION",
+    z_penalty=1.0,
+    clip_num=(0.05, 0.5, 0.5) * 4,
+    time_step_s=0.0025,
+    num_action_repeat=16,
+    add_last_action_input=True,
+    no_displacement=True,
+    diagonal_act=True,
+    alive_reward=-0.05,
+    fall_reward=-20.0,
+    fric_coeff=(1.0, 0.01, 0.01),
+    target_vel=1.0,
+    random_init_range=1.0,
+    domain_randomization=False,
+    terrain_type="plane",
+)
+
+
+def test_obs_dim():
+  env = A1GymEnv(STATE_CFG)
+  # IMU 12 + LastAction 36 + MotorAngle 36
+  assert env.obs_dim == 84
+  assert STATE_CFG.action_dim == 6
+
+
+def test_reset_and_standing():
+  """After reset the robot must stand stably while holding the init pose."""
+  env = A1GymEnv(STATE_CFG)
+
+  @jax.jit
+  def run(key):
+    state, obs = env.reset(key)
+    hold = jnp.zeros(6)  # NormAct-space center -> init angles
+
+    def body(carry, _):
+      state, _ = carry
+      # action already in env space: init angles (= mid of clip range)
+      act = jnp.asarray(P.INIT_MOTOR_ANGLES[:6], jnp.float32)
+      state, obs, rew, done, _ = env.step(state, act)
+      return (state, done), (state.robot.phys.pos[2], done)
+
+    (state, _), (zs, dones) = jax.lax.scan(body, (state, jnp.array(False)),
+                                           None, length=50)
+    return obs, zs, dones, state.robot.phys.quat
+
+  obs, zs, dones, quat = run(jax.random.PRNGKey(0))
+  assert obs.shape == (84,)
+  assert np.all(np.isfinite(np.array(obs)))
+  zs = np.array(zs)
+  # standing height stays in a sane band and the episode never terminates
+  assert np.all(zs > 0.20), f"fell: min z={zs.min()}"
+  assert np.all(zs < 0.40), f"jumped: max z={zs.max()}"
+  assert not np.any(np.array(dones))
+  # upright: quaternion close to identity
+  assert abs(float(quat[0])) > 0.99
+
+
+def test_random_actions_dont_nan():
+  env = A1GymEnv(STATE_CFG)
+
+  @jax.jit
+  def run(key):
+    state, obs = env.reset(key)
+
+    def body(carry, k):
+      state = carry
+      act = jax.random.uniform(k, (6,), minval=-1.0, maxval=1.0)
+      # NormAct mapping (continuous_wrapper.py:19-22)
+      act = env.action_low + (jnp.tanh(act) + 1) * 0.5 * (
+          env.action_high - env.action_low)
+      state, obs, rew, done, _ = env.step(state, act)
+      return state, (obs, rew, done)
+
+    keys = jax.random.split(key, 30)
+    state, (obs, rew, done) = jax.lax.scan(body, state, keys)
+    return obs, rew, done
+
+  obs, rew, done = run(jax.random.PRNGKey(1))
+  assert np.all(np.isfinite(np.array(obs)))
+  assert np.all(np.isfinite(np.array(rew)))
+
+
+def test_fall_terminates():
+  """Dropping the robot on its side must trigger rot/height termination."""
+  env = A1GymEnv(STATE_CFG)
+
+  @jax.jit
+  def run(key):
+    state, _ = env.reset(key)
+    # flip the robot: set orientation sideways, let it fall
+    from vision4leg_tpu.physics import maths
+    quat = maths.rpy_to_quat(jnp.array([2.0, 0.0, 0.0]))
+    phys = state.robot.phys.replace(
+        quat=quat, pos=jnp.array([0.0, 0.0, 0.5]))
+    state = state.replace(robot=state.robot.replace(phys=phys))
+
+    def body(carry, _):
+      state, done_any = carry
+      act = jnp.asarray(P.INIT_MOTOR_ANGLES[:6], jnp.float32)
+      state, _, _, done, _ = env.step(state, act)
+      return (state, done_any | done), done
+
+    (_, done_any), _ = jax.lax.scan(body, (state, jnp.array(False)), None,
+                                    length=20)
+    return done_any
+
+  assert bool(run(jax.random.PRNGKey(2)))
+
+
+def test_vmapped_reset_step():
+  """The env must vmap cleanly over a batch of environments."""
+  env = A1GymEnv(STATE_CFG)
+
+  @jax.jit
+  def run(keys):
+    states, obs = jax.vmap(env.reset)(keys)
+    acts = jnp.tile(jnp.asarray(P.INIT_MOTOR_ANGLES[:6], jnp.float32),
+                    (keys.shape[0], 1))
+    states, obs, rew, done, _ = jax.vmap(env.step)(states, acts)
+    return obs, rew, done
+
+  obs, rew, done = run(jax.random.split(jax.random.PRNGKey(3), 4))
+  assert obs.shape == (4, 84)
+  assert rew.shape == (4,)

@@ -1,0 +1,157 @@
+"""Training agent: the epoch-driven train loop.
+
+Reference: torchrl/algo/rl_algo.py:97-168 (RLAlgo.train): per epoch —
+collect -> update -> (interval) eval -> snapshot, tracking
+Explore/Train/Eval wall-times, Running_Average_Rewards, and best-model
+checkpointing.  Here "collect" and "update" fuse into one jitted
+train_epoch program on the TPU; eval is a second jitted program.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from vision4leg_tpu.algo.ppo import PPOConfig, PPOLearner, PPOTrainState
+from vision4leg_tpu.collector import rollout as rollout_lib
+from vision4leg_tpu.data import normalizer as norm
+
+
+class PPOAgent:
+  def __init__(self, env, ac_module, cfg: PPOConfig, num_envs: int,
+               seed: int, logger, save_dir: str,
+               eval_interval: int = 10, save_interval: int = 100,
+               num_eval_envs: int = 2, obs_norm: bool = True,
+               mesh=None):
+    self.env = env
+    self.module = ac_module
+    self.cfg = cfg
+    self.num_envs = num_envs
+    self.num_eval_envs = num_eval_envs
+    self.logger = logger
+    self.save_dir = save_dir
+    self.eval_interval = eval_interval
+    self.save_interval = save_interval
+    self.obs_norm = obs_norm
+    self.mesh = mesh
+    os.makedirs(save_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(seed)
+    self.key, k_init, k_coll = jax.random.split(key, 3)
+
+    dummy_obs = jnp.zeros((1, env.obs_dim))
+    params = ac_module.init(k_init, dummy_obs)
+
+    def apply_pi(p, x):
+      return ac_module.apply(p, x, method=ac_module.pi)
+
+    def apply_v(p, x):
+      return ac_module.apply(p, x, method=ac_module.v)
+
+    self.apply_pi, self.apply_v = apply_pi, apply_v
+    self.learner = PPOLearner(cfg, apply_pi, apply_v, params)
+    self.train_state = self.learner.init_state(params)
+
+    horizon = cfg.epoch_frames // num_envs
+    self.horizon = horizon
+    act_low, act_high = env.action_low, env.action_high
+    self.rollout = rollout_lib.make_rollout_fn(
+        env, apply_pi, apply_v, horizon, cfg.max_episode_frames,
+        cfg.discount, env.cfg.proprio_dim, obs_norm=obs_norm,
+        update_normalizer=True, action_low=act_low, action_high=act_high)
+    self.collector_state = rollout_lib.init_collector(env, num_envs, k_coll)
+
+    # deterministic eval rollout (collector/base.py:235-288: eval_act=mean,
+    # frozen normalizer)
+    def eval_rollout(params, normalizer, key):
+      ks = jax.random.split(key, num_eval_envs)
+      states, raw = jax.vmap(env.reset)(ks)
+
+      def step(carry, _):
+        states, raw, ret, done_seen, steps = carry
+        obs = (norm.filt_with_img_tail(normalizer, raw, env.cfg.proprio_dim)
+               if obs_norm else raw)
+        mean, _, _ = apply_pi(params, obs)
+        env_act = jnp.tanh(mean)
+        env_act = act_low + (env_act + 1.0) * 0.5 * (act_high - act_low)
+        states, raw, rew, done, _ = jax.vmap(env.step)(states, env_act)
+        ret = ret + rew * (1.0 - done_seen)
+        steps = steps + (1.0 - done_seen)
+        done_seen = jnp.maximum(done_seen, done.astype(jnp.float32))
+        return (states, raw, ret, done_seen, steps), None
+
+      init = (states, raw, jnp.zeros(num_eval_envs),
+              jnp.zeros(num_eval_envs), jnp.zeros(num_eval_envs))
+      (states, raw, ret, done_seen, steps), _ = jax.lax.scan(
+          step, init, None, length=cfg.max_episode_frames)
+      return ret, steps
+
+    def train_epoch(ts: PPOTrainState, cs, key):
+      cs, traj, last_value = self.rollout(ts.params, cs)
+      ts, metrics = self.learner.update_per_epoch(ts, traj, last_value, key)
+      metrics["Training/avg_reward"] = traj.rewards.mean()
+      return ts, cs, metrics
+
+    self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+    self._eval = jax.jit(eval_rollout)
+
+    self.best_eval = -np.inf
+    self.total_frames = 0
+
+  # ------------------------------------------------------------------
+  def snapshot(self, suffix: str):
+    """Save params + normalizer (rl_algo.py:84-95 naming scheme)."""
+    path = osp.join(self.save_dir, f"model_pf_{suffix}.flax")
+    with open(path, "wb") as f:
+      f.write(serialization.to_bytes(self.train_state.params))
+    nrm = self.collector_state.normalizer
+    np.savez(osp.join(self.save_dir, f"_obs_normalizer_{suffix}.npz"),
+             mean=np.asarray(nrm.mean), var=np.asarray(nrm.var),
+             count=np.asarray(nrm.count))
+
+  def train(self):
+    cfg = self.cfg
+    start = time.time()
+    for epoch in range(cfg.num_epochs):
+      t0 = time.time()
+      self.key, k_up, k_ev = jax.random.split(self.key, 3)
+      self.train_state, self.collector_state, metrics = self._train_epoch(
+          self.train_state, self.collector_state, k_up)
+      jax.block_until_ready(metrics)
+      train_time = time.time() - t0
+      self.total_frames += cfg.epoch_frames
+
+      infos = {k: float(np.asarray(v)) for k, v in metrics.items()}
+      cs = self.collector_state
+      fin = float(np.asarray(cs.finished_count))
+      if fin > 0:
+        infos["Running_Average_Rewards"] = float(
+            np.asarray(cs.finished_returns_sum)) / fin
+      self.collector_state = cs.replace(
+          finished_returns_sum=jnp.zeros(()),
+          finished_count=jnp.zeros(()))
+      infos["Train___Time"] = train_time
+
+      if (epoch + 1) % self.eval_interval == 0:
+        t0 = time.time()
+        rets, steps = self._eval(self.train_state.params,
+                                 self.collector_state.normalizer, k_ev)
+        rets = np.asarray(rets)
+        infos["Eval_Rewards_Average"] = float(rets.mean())
+        infos["Eval____Time"] = time.time() - t0
+        if rets.mean() > self.best_eval:
+          self.best_eval = float(rets.mean())
+          self.snapshot("best")
+
+      if (epoch + 1) % self.save_interval == 0:
+        self.snapshot(str(epoch + 1))
+
+      self.logger.add_epoch_info(epoch, self.total_frames,
+                                 time.time() - start, infos)
+    self.snapshot("finish")

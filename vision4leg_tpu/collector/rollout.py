@@ -1,0 +1,164 @@
+"""Fully-jitted on-device rollout collector.
+
+Replaces the reference's data plane — `SubProcVecEnv` worker processes +
+per-step host<->GPU tensor ping-pong (`torchrl/env/subproc_vecenv.py`,
+`torchrl/collector/on_policy.py:90-152`) — with a single `lax.scan` over
+vmapped environments living in TPU memory.  One compiled program produces an
+entire epoch of (obs, action, logp, value, reward, terminal, time_limit)
+tensors; nothing crosses the host boundary during collection.
+
+Collection semantics preserved from VecOnPolicyCollector.take_actions:
+  * policy explores (samples) from Normal(mean, std), value evaluated on
+    the normalized obs,
+  * at `done or step >= max_episode_frames`: terminal := done | surpass,
+    reward += discount * V(next_obs) * surpass (time-limit bootstrap,
+    on_policy.py:128-143), then partial reset,
+  * `time_limit` flag recorded for the GAE filter,
+  * the obs normalizer updates online during training collection
+    (NormObs.observation, base_wrapper.py:119-123).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vision4leg_tpu.data import normalizer as norm
+
+
+class Transition(NamedTuple):
+  obs: jnp.ndarray          # (T, E, D) normalized obs fed to the policy
+  acts: jnp.ndarray         # (T, E, A) raw policy output (pre-NormAct)
+  log_probs: jnp.ndarray    # (T, E, 1)
+  values: jnp.ndarray       # (T, E, 1)
+  rewards: jnp.ndarray      # (T, E, 1)
+  terminals: jnp.ndarray    # (T, E, 1) bool
+  time_limits: jnp.ndarray  # (T, E, 1) bool
+
+
+@struct.dataclass
+class CollectorState:
+  env_states: Any            # vmapped EnvState
+  raw_obs: jnp.ndarray       # (E, D) current raw obs
+  ep_steps: jnp.ndarray      # (E,) int32 steps since reset
+  ep_return: jnp.ndarray     # (E,) running episode reward
+  normalizer: norm.NormalizerState
+  finished_returns_sum: jnp.ndarray  # () sum of finished-episode returns
+  finished_count: jnp.ndarray        # () number of finished episodes
+  key: jax.Array
+
+
+def init_collector(env, num_envs: int, key: jax.Array) -> CollectorState:
+  k_reset, k_state = jax.random.split(key)
+  env_states, raw_obs = jax.vmap(env.reset)(
+      jax.random.split(k_reset, num_envs))
+  return CollectorState(
+      env_states=env_states,
+      raw_obs=raw_obs,
+      ep_steps=jnp.zeros(num_envs, jnp.int32),
+      ep_return=jnp.zeros(num_envs),
+      normalizer=norm.init_normalizer(env.obs_dim),
+      finished_returns_sum=jnp.zeros(()),
+      finished_count=jnp.zeros(()),
+      key=k_state,
+  )
+
+
+def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
+                    horizon: int, max_episode_frames: int, discount: float,
+                    proprio_dim: int, obs_norm: bool = True,
+                    update_normalizer: bool = True,
+                    action_low=None, action_high=None,
+                    env_time_limit: int = 1000):
+  """Build `rollout(params, collector_state) -> (state, Transition, last_v)`.
+
+  apply_pi(params, obs) -> (mean, std, logstd); apply_v(params, obs) -> (B,1).
+  action_low/high: env action bounds for the NormAct tanh mapping
+  (continuous_wrapper.py:19-22).
+  """
+
+  def normalize(nstate, raw):
+    if not obs_norm:
+      return raw
+    return norm.filt_with_img_tail(nstate, raw, proprio_dim)
+
+  def step_fn(carry, _):
+    params, cs = carry
+    key, k_act = jax.random.split(cs.key)
+
+    nstate = cs.normalizer
+    if obs_norm and update_normalizer:
+      # NormObs updates on every observation during training collection
+      nstate = norm.update(nstate, cs.raw_obs[..., :proprio_dim])
+    obs = normalize(nstate, cs.raw_obs)
+
+    mean, std, _ = apply_pi(params, obs)
+    noise = jax.random.normal(k_act, mean.shape)
+    act = mean + std * noise
+    log_prob = jnp.sum(
+        -0.5 * (noise**2) - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi),
+        axis=-1, keepdims=True)
+    value = apply_v(params, obs)
+
+    # NormAct: tanh + affine rescale into env action bounds
+    env_act = jnp.tanh(act)
+    env_act = action_low + (env_act + 1.0) * 0.5 * (action_high - action_low)
+
+    env_states, next_raw, rew, done, _ = jax.vmap(env.step)(
+        cs.env_states, env_act)
+    ep_steps = cs.ep_steps + 1
+    # gym TimeLimit at the env horizon (get_env.py:79-84): done=True with
+    # info['time_limit']; with the shipped configs (horizon 1000 >
+    # max_episode_frames 999) the collector surpass below always fires first
+    tl_done = ep_steps >= env_time_limit
+    done = done | tl_done
+    surpass = ep_steps >= max_episode_frames
+    terminal = done | surpass
+
+    # episode-return bookkeeping uses the raw reward (collector train_rew
+    # accumulates before the bootstrap modification, on_policy.py:124-141)
+    ep_return = cs.ep_return + rew
+
+    # time-limit value bootstrap folded into rewards (on_policy.py:128-143)
+    next_obs_n = normalize(nstate, next_raw)
+    last_value = apply_v(params, next_obs_n)[..., 0]
+    rew = rew + discount * last_value * surpass
+    fin_sum = cs.finished_returns_sum + jnp.sum(ep_return * terminal)
+    fin_cnt = cs.finished_count + jnp.sum(terminal)
+
+    # partial reset of finished envs
+    key, k_reset = jax.random.split(key)
+    reset_states, reset_obs = jax.vmap(env.reset)(
+        jax.random.split(k_reset, done.shape[0]))
+
+    def sel(a, b):
+      t = terminal.reshape(terminal.shape + (1,) * (a.ndim - 1))
+      return jnp.where(t, a, b)
+
+    env_states = jax.tree.map(sel, reset_states, env_states)
+    next_raw = sel(reset_obs, next_raw)
+    ep_steps = jnp.where(terminal, 0, ep_steps)
+    ep_return = jnp.where(terminal, 0.0, ep_return)
+
+    new_cs = cs.replace(
+        env_states=env_states, raw_obs=next_raw, ep_steps=ep_steps,
+        ep_return=ep_return, normalizer=nstate,
+        finished_returns_sum=fin_sum, finished_count=fin_cnt, key=key)
+    tr = Transition(
+        obs=obs, acts=act, log_probs=log_prob, values=value,
+        rewards=rew[..., None], terminals=terminal[..., None],
+        time_limits=tl_done[..., None])
+    return (params, new_cs), tr
+
+  def rollout(params, cs: CollectorState):
+    (params, cs), traj = jax.lax.scan(step_fn, (params, cs), None,
+                                      length=horizon)
+    # bootstrap value for GAE: V(current obs) * (1 - terminal_last)
+    obs = normalize(cs.normalizer, cs.raw_obs)
+    last_value = apply_v(params, obs)[..., 0]
+    last_value = last_value * (1.0 - traj.terminals[-1, :, 0])
+    return cs, traj, last_value
+
+  return rollout

@@ -1,0 +1,160 @@
+"""Device-side depth camera: analytic raycasting on TPU.
+
+Replaces PyBullet's EGL `getCameraImage` 64x64 depth render
+(locomotion_gym_env_with_rich_information.py:569-632) with an exact
+ray-intersection renderer against the TerrainState geometry (ground
+plane / heightfield, obstacle boxes, subgoal spheres).  The output matches
+the reference's *linearized* depth (view-axis z-distance), so the entire
+calibrated preprocessing chain — blind spots, clip [0.3, 10],
+sqrt(log(d+1)), (x - 1.25)/0.425 normalization — carries over unchanged.
+
+Camera model (reference :572-607):
+  * eye at trunk position + 0.2309 m along the trunk x-axis,
+  * view direction (x_axis - z_axis)/2 and up (x_axis + z_axis)/2 — i.e. a
+    45-degree downward pitch relative to the body,
+  * hardcoded projection with P00=1.0825318, P11=1.7320509 (vertical FOV
+    60 deg, aspect 1.6), near=0.01, far=1000.
+
+Rays are parameterized as d = f + (u/P00) r + (v/P11) u_hat so that the hit
+parameter t *is* the view-axis depth the reference computes via
+far*near/(far-(far-near)*zbuf).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vision4leg_tpu.envs.terrain import TerrainState, SUBGOAL_RADIUS
+
+IMG_SIZE = 64
+P00 = 1.0825318098068237   # proj[0,0] (ref :585)
+P11 = 1.732050895690918    # proj[1,1]
+FAR_T = 20.0               # max ray march distance (depth clips at 10 anyway)
+T_MISS = 1000.0 * 0.01 / (1000.0 - 999.99)  # ~ depth of zbuf=1 (background)
+
+
+def camera_rays(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray):
+  """Eye position + (H*W, 3) ray directions with unit forward component."""
+  x_axis = trunk_rot[:, 0]
+  z_axis = trunk_rot[:, 2]
+  eye = trunk_pos + 0.2309 * x_axis
+  fwd = 0.5 * (x_axis - z_axis)
+  up = 0.5 * (x_axis + z_axis)
+  f = fwd / jnp.linalg.norm(fwd)
+  r = jnp.cross(f, up)
+  r = r / jnp.linalg.norm(r)
+  u = jnp.cross(r, f)
+  px = (jnp.arange(IMG_SIZE) + 0.5) / IMG_SIZE * 2.0 - 1.0   # ndc x
+  py = 1.0 - (jnp.arange(IMG_SIZE) + 0.5) / IMG_SIZE * 2.0   # ndc y (row 0 top)
+  gx, gy = jnp.meshgrid(px, py, indexing="xy")               # (H, W)
+  # OpenGL: ndc_x = P00 * x_cam / (-z_cam) => x_cam/depth = ndc_x / P00
+  dirs = (f[None, None]
+          + (gx / P00)[..., None] * r[None, None]
+          + (gy / P11)[..., None] * u[None, None])           # (H, W, 3)
+  return eye, dirs.reshape(-1, 3)
+
+
+def _ray_plane_t(eye, dirs, height: jnp.ndarray):
+  """t of intersection with horizontal plane z=height (inf if none)."""
+  dz = dirs[:, 2]
+  t = (height - eye[2]) / jnp.where(jnp.abs(dz) < 1e-9, -1e-9, dz)
+  return jnp.where(t > 0, t, jnp.inf)
+
+
+def _ray_boxes_t(eye, dirs, boxes):
+  """Min positive t over K yaw-oriented boxes. boxes: (K, 8)."""
+  c, half, yaw, valid = (boxes[:, 0:3], boxes[:, 3:6], boxes[:, 6],
+                         boxes[:, 7])
+  cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+  # transform eye/dirs into each box frame (yaw about z)
+  eo = eye[None] - c                                     # (K, 3)
+  eox = cy * eo[:, 0] + sy * eo[:, 1]
+  eoy = -sy * eo[:, 0] + cy * eo[:, 1]
+  el = jnp.stack([eox, eoy, eo[:, 2]], axis=-1)          # (K, 3)
+  dx = cy[None] * dirs[:, None, 0] + sy[None] * dirs[:, None, 1]
+  dy = -sy[None] * dirs[:, None, 0] + cy[None] * dirs[:, None, 1]
+  dl = jnp.stack([dx, dy, jnp.broadcast_to(dirs[:, None, 2], dx.shape)],
+                 axis=-1)                                # (N, K, 3)
+  inv = 1.0 / jnp.where(jnp.abs(dl) < 1e-9, 1e-9, dl)
+  t1 = (-half[None] - el[None]) * inv
+  t2 = (half[None] - el[None]) * inv
+  tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)           # (N, K)
+  tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+  hit = (tmax >= jnp.maximum(tmin, 0.0)) & (valid[None] > 0.5)
+  t = jnp.where(hit, jnp.maximum(tmin, 1e-4), jnp.inf)
+  return jnp.min(t, axis=-1)                             # (N,)
+
+
+def _ray_spheres_t(eye, dirs, centers, radius, active):
+  """Min positive t over S spheres. centers: (S, 3), active: (S,)."""
+  oc = eye[None] - centers                               # (S, 3)
+  d2 = jnp.sum(dirs * dirs, axis=-1)                     # (N,)
+  b = jnp.einsum("ni,si->ns", dirs, oc)                  # (N, S)
+  cterm = jnp.sum(oc * oc, axis=-1)[None] - radius**2    # (1->N, S)
+  disc = b * b - d2[:, None] * cterm
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  t = (-b - sq) / d2[:, None]
+  hit = (disc > 0) & (t > 0) & (active[None] > 0.5)
+  return jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
+
+
+def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 96):
+  """Fixed-step ray march against a height function, then 8 bisections."""
+  ts = jnp.linspace(0.05, FAR_T, n_steps)                # (S,)
+  pts = eye[None, None, :] + ts[None, :, None] * dirs[:, None, :]  # (N,S,3)
+  below = pts[..., 2] <= height_fn(pts[..., :2])         # (N, S)
+  any_hit = jnp.any(below, axis=-1)
+  first = jnp.argmax(below, axis=-1)                     # first True index
+  t_hi = ts[first]
+  t_lo = ts[jnp.maximum(first - 1, 0)]
+  t_lo = jnp.where(first == 0, 0.0, t_lo)
+
+  def bisect(carry, _):
+    lo, hi = carry
+    mid = 0.5 * (lo + hi)
+    p = eye[None] + mid[:, None] * dirs
+    under = p[:, 2] <= height_fn(p[:, :2])
+    return (jnp.where(under, lo, mid), jnp.where(under, mid, hi)), None
+
+  (t_lo, t_hi), _ = jax.lax.scan(bisect, (t_lo, t_hi), None, length=8)
+  return jnp.where(any_hit, 0.5 * (t_lo + t_hi), jnp.inf)
+
+
+def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
+                 terrain: TerrainState, height_fn, flat: bool,
+                 show_subgoals: bool) -> jnp.ndarray:
+  """(64, 64) linearized depth (view-axis meters), background ~inf->far."""
+  eye, dirs = camera_rays(trunk_pos, trunk_rot)
+  if flat:
+    t = _ray_plane_t(eye, dirs, jnp.asarray(0.0))
+  else:
+    t = _ray_heightfield_t(eye, dirs, height_fn)
+  if terrain.boxes.shape[0] > 0:
+    t = jnp.minimum(t, _ray_boxes_t(eye, dirs, terrain.boxes))
+  if show_subgoals:
+    centers = jnp.concatenate(
+        [terrain.subgoals,
+         jnp.full((terrain.subgoals.shape[0], 1), SUBGOAL_RADIUS)], axis=-1)
+    # subgoal spheres sit at z = radius; hidden ones were made transparent
+    # (move_forward_task.py:180-184) but remain in the depth buffer; the
+    # reference's getCameraImage still *depth*-renders transparent bodies,
+    # so all spheres stay visible here.
+    t = jnp.minimum(
+        t, _ray_spheres_t(eye, dirs, centers, SUBGOAL_RADIUS,
+                          jnp.ones(terrain.subgoals.shape[0])))
+  depth = jnp.where(jnp.isfinite(t), t, 1000.0)
+  return depth.reshape(IMG_SIZE, IMG_SIZE)
+
+
+def preprocess_depth(depth: jnp.ndarray, key: jax.Array,
+                     blind_spots: bool = True) -> jnp.ndarray:
+  """RealSense blind spots + clip + sqrt(log) (reference :623-632)."""
+  if blind_spots:
+    k1, k2 = jax.random.split(key)
+    num = jax.random.randint(k1, (), 3, 30)
+    idx = jax.random.randint(k2, (30, 2), 0, IMG_SIZE)
+    mask = jnp.arange(30) < num
+    depth = depth.at[idx[:, 0], idx[:, 1]].set(
+        jnp.where(mask, 10.0, depth[idx[:, 0], idx[:, 1]]))
+  depth = jnp.clip(depth, 0.3, 10.0)
+  return jnp.sqrt(jnp.log(depth + 1.0))

@@ -1,0 +1,373 @@
+"""Terrain generation + queries, fully on-device.
+
+TPU-native rewrite of the reference's `TerrainRandomizer`
+(vision4leg/envs/utilities/a1_randomizer_ground.py): instead of spawning
+PyBullet bodies, each episode owns a `TerrainState` pytree — a heightfield
+grid plus a fixed-size array of oriented boxes and subgoal spheres — that
+the contact model, the depth raycaster and the tasks all query with pure
+functions.  Regeneration on reset is a jittable function of the RNG key, so
+terrain randomization lives inside the compiled rollout.
+
+Reference geometry reproduced (file:line into a1_randomizer_ground.py):
+  * random_blocks_sparse (+_with_subgoal/_thin_wide): 50 square pillars,
+    half-extent 0.3/(2*sqrt2)*1.7+0.05 ~ 0.23 m, half-height 0.7, in the
+    corridor x in [2.5, 28.5], y in [-3, 3] (Poisson-disc on reset,
+    `_move_block_pos` :546-560), plus two fence walls at y = +-3.1
+    (:614-652); `random_shape` perturbs sizes (:570-596).
+  * moving obstacles: per-step displacement DIRECTION[d] * 3 with direction
+    flips every 150 steps (:411-443, DIRECTION table :45-66).
+  * random_heightfield: 256x256 grid, 2x2 cells sharing U(0, 0.1) heights,
+    0.12 m cells, flat 10x10 (doubled) center patch, vertically centered
+    (`_generate_field` :753-807 + PyBullet heightfield centering).
+  * stairs: 7 overlapping slabs (half 2 x 25 x 0.2) at x = 2.75 + 0.44k,
+    rising 0.1 m per step then descending (`_generate_stairs` :656-700).
+  * subgoals: 50 spheres r=0.2 at U([2,-2.2],[30,2.2]) (:1076-1140).
+  * hill/mount: the reference loads fixed heightmap image assets; here they
+    are procedurally generated gaussian landscapes with matching scale
+    (hill: 0.2 z-scale at [1,0,2]; mount: a single peak the robot climbs).
+
+Poisson-disc sampling (PoissonDisc2D :69-242) is replaced by stratified
+jittered-grid sampling — the same blue-noise intent, expressible with
+static shapes inside jit.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# --- static geometry constants (reference values) ---
+NUM_SPARSE_BLOCKS = 50
+SPARSE_HALF_LEN = 0.3 / (2 * math.sqrt(2)) * 1.7 + 0.05   # collision half-ext
+SPARSE_HALF_HEIGHT = 0.7
+FENCE_Y = 3.1
+FENCE_HALF = (30.0 + 0.05, 0.3 / (2 * math.sqrt(2)) + 0.05,
+              SPARSE_HALF_HEIGHT * 3)
+NUM_SUBGOALS = 50
+SUBGOAL_RADIUS = 0.2
+HEIGHTFIELD_N = 256
+HEIGHTFIELD_CELL = 0.12
+HEIGHTFIELD_RANGE = 0.1  # env_builder passes height_range=0.1
+
+# moving-obstacle direction table (a1_randomizer_ground.py:45-66), times the
+# per-step scale 3 (:601 `_randomize_random_blocks_sparse`)
+_DIRECTION = np.array([
+    [0.005, 0], [-0.005, 0], [0, 0.005], [0, -0.005],
+    [0.004, 0.004], [-0.004, 0.004], [0.004, -0.004], [-0.004, -0.004],
+    [0.002, 0.006], [-0.002, 0.006], [0.002, -0.006], [-0.002, -0.006],
+    [0.006, 0.002], [-0.006, 0.002], [0.006, -0.002], [-0.006, -0.002],
+    [0, 0], [0, 0], [0, 0], [0, 0],
+], np.float32) * 3.0
+# direction flip map applied every 150 steps (:425-443): 0<->1, 2<->3,
+# d>=4 -> re-randomized (here: uniform re-draw)
+_FLIP = np.array([1, 0, 3, 2] + list(range(4, 20)), np.int32)
+
+
+@struct.dataclass
+class TerrainState:
+  """Per-episode world geometry (all arrays fixed-size per config)."""
+  height: jnp.ndarray        # (H, W) heightfield samples (meters)
+  hf_cell: jnp.ndarray       # () cell size (m)
+  hf_origin: jnp.ndarray     # (2,) world xy of grid index (0, 0)
+  hf_zoff: jnp.ndarray       # () additive world z offset
+  boxes: jnp.ndarray         # (K, 8): cx cy cz hx hy hz yaw valid
+  box_dirs: jnp.ndarray      # (K,) int32 moving-direction indices
+  subgoals: jnp.ndarray      # (S, 2) subgoal xy centers
+  goal_pos: jnp.ndarray      # (3,) goal position (zeros if unused)
+
+
+def flat_height_fn(terrain: TerrainState):
+  del terrain
+  def h(xy):
+    return jnp.zeros(xy.shape[:-1])
+  def n(xy):
+    out = jnp.zeros(xy.shape[:-1] + (3,))
+    return out.at[..., 2].set(1.0)
+  return h, n
+
+
+def heightfield_fns(terrain: TerrainState):
+  """Bilinear height lookup + finite-difference normals."""
+  grid = terrain.height
+  H, W = grid.shape
+  cell = terrain.hf_cell
+
+  def h(xy):
+    gx = (xy[..., 0] - terrain.hf_origin[0]) / cell
+    gy = (xy[..., 1] - terrain.hf_origin[1]) / cell
+    gx = jnp.clip(gx, 0.0, H - 1.001)
+    gy = jnp.clip(gy, 0.0, W - 1.001)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - x0
+    fy = gy - y0
+    h00 = grid[x0, y0]
+    h10 = grid[x0 + 1, y0]
+    h01 = grid[x0, y0 + 1]
+    h11 = grid[x0 + 1, y0 + 1]
+    return ((h00 * (1 - fx) + h10 * fx) * (1 - fy)
+            + (h01 * (1 - fx) + h11 * fx) * fy) + terrain.hf_zoff
+
+  def n(xy):
+    eps = cell
+    dx = (h(xy + jnp.array([eps, 0.0])) - h(xy - jnp.array([eps, 0.0])))
+    dy = (h(xy + jnp.array([0.0, eps])) - h(xy - jnp.array([0.0, eps])))
+    nrm = jnp.stack([-dx, -dy, 2 * eps * jnp.ones_like(dx)], axis=-1)
+    return nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+
+  return h, n
+
+
+def height_fns(terrain: TerrainState, flat: bool):
+  return flat_height_fn(terrain) if flat else heightfield_fns(terrain)
+
+
+# ---------------------------------------------------------------------------
+# Generators (jittable, keyed)
+# ---------------------------------------------------------------------------
+
+def _empty(num_boxes: int, hf_n: int = 2) -> TerrainState:
+  return TerrainState(
+      height=jnp.zeros((hf_n, hf_n)),
+      hf_cell=jnp.asarray(HEIGHTFIELD_CELL),
+      hf_origin=jnp.asarray([-0.5 * hf_n * HEIGHTFIELD_CELL] * 2),
+      hf_zoff=jnp.asarray(0.0),
+      boxes=jnp.zeros((num_boxes, 8)),
+      box_dirs=jnp.zeros((num_boxes,), jnp.int32),
+      subgoals=jnp.zeros((NUM_SUBGOALS, 2)),
+      goal_pos=jnp.zeros(3),
+  )
+
+
+def gen_plane(key: jax.Array) -> TerrainState:
+  del key
+  return _empty(num_boxes=0)
+
+
+def _jittered_corridor_points(key, n, lo, hi):
+  """Stratified jittered sampling of n points in the box [lo, hi]."""
+  # grid as square as possible
+  nx = int(math.ceil(math.sqrt(n * (hi[0] - lo[0]) / (hi[1] - lo[1]))))
+  ny = int(math.ceil(n / nx))
+  xs = jnp.linspace(lo[0], hi[0], nx + 1)[:-1]
+  ys = jnp.linspace(lo[1], hi[1], ny + 1)[:-1]
+  cw = jnp.array([(hi[0] - lo[0]) / nx, (hi[1] - lo[1]) / ny])
+  gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+  cells = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)[: n]
+  k1, k2 = jax.random.split(key)
+  jitter = jax.random.uniform(k1, (n, 2)) * cw
+  pts = cells + jitter
+  perm = jax.random.permutation(k2, n)
+  return pts[perm]
+
+
+def gen_blocks_sparse(key: jax.Array, random_shape: bool = False,
+                      subgoal: bool = False, thin_wide: bool = False,
+                      heightfield: bool = False) -> TerrainState:
+  """random_blocks_sparse family: 50 pillars in a fenced corridor."""
+  kb, ks, kh, kshape = jax.random.split(key, 4)
+  n = NUM_SPARSE_BLOCKS
+  centers = _jittered_corridor_points(
+      kb, n, jnp.array([2.5, -3.0]), jnp.array([28.5, 3.0]))
+  half = jnp.tile(jnp.array([SPARSE_HALF_LEN, SPARSE_HALF_LEN,
+                             SPARSE_HALF_HEIGHT]), (n, 1))
+  cz = jnp.full((n,), SPARSE_HALF_HEIGHT)
+  if random_shape:
+    base_hl = 0.3 / (2 * math.sqrt(2))
+    d_len = jax.random.uniform(kshape, (n, 2), minval=-0.01, maxval=0.2)
+    d_h = jax.random.uniform(jax.random.fold_in(kshape, 1), (n,),
+                             minval=-0.25, maxval=0.25)
+    hl = (base_hl + d_len) * 1.7 + 0.05
+    hh = SPARSE_HALF_HEIGHT + d_h
+    half = jnp.concatenate([hl, hh[:, None]], axis=-1)
+    cz = hh * 0.5  # reference buries random-shape blocks (:596)
+  if thin_wide:
+    # thin & wide obstacle mix: stretch half the blocks laterally
+    wide = (jnp.arange(n) % 2 == 0)[:, None]
+    half = jnp.where(wide, half * jnp.array([1.0, 3.0, 1.0]), half)
+  blocks = jnp.concatenate(
+      [centers, cz[:, None], half,
+       jnp.zeros((n, 1)), jnp.ones((n, 1))], axis=-1)
+  # fences at y = +-3.1
+  fy = jnp.array(FENCE_HALF)
+  fence = jnp.stack([
+      jnp.concatenate([jnp.array([15.0, FENCE_Y, fy[2]]), fy,
+                       jnp.zeros(1), jnp.ones(1)]),
+      jnp.concatenate([jnp.array([15.0, -FENCE_Y, fy[2]]), fy,
+                       jnp.zeros(1), jnp.ones(1)]),
+  ])
+  ts = _empty(num_boxes=0)
+  hf = jnp.zeros((2, 2))
+  zoff = jnp.asarray(0.0)
+  origin = jnp.asarray([-0.12, -0.12])
+  ncell = 2
+  if heightfield:
+    hf, origin, zoff, ncell = _random_heightfield_arrays(kh)
+  subgoals = jax.random.uniform(
+      ks, (NUM_SUBGOALS, 2), minval=jnp.array([2.0, -2.2]),
+      maxval=jnp.array([30.0, 2.2]))
+  return TerrainState(
+      height=hf, hf_cell=jnp.asarray(HEIGHTFIELD_CELL),
+      hf_origin=origin, hf_zoff=zoff,
+      boxes=jnp.concatenate([blocks, fence], axis=0),
+      box_dirs=jax.random.randint(jax.random.fold_in(kb, 7),
+                                  (n + 2,), 0, 20).at[n:].set(16),
+      subgoals=subgoals,
+      goal_pos=jnp.zeros(3),
+  )
+
+
+def _random_heightfield_arrays(key):
+  """PyBullet-style random heightfield (`_generate_field`)."""
+  n = HEIGHTFIELD_N
+  half = n // 2
+  h = jax.random.uniform(key, (half, half), minval=0.0,
+                         maxval=HEIGHTFIELD_RANGE)
+  # flat 10x10 block of 2x2-cells around the center (indices n/4 +- 5)
+  c = half // 2
+  ii = jnp.arange(half)
+  mask = ((ii[:, None] >= c - 5) & (ii[:, None] < c + 5)
+          & (ii[None] >= c - 5) & (ii[None] < c + 5))
+  h = jnp.where(mask, 0.0, h)
+  grid = jnp.repeat(jnp.repeat(h, 2, axis=0), 2, axis=1)
+  # PyBullet centers the heightfield on its AABB midpoint at the body origin
+  zoff = -(jnp.max(grid) + jnp.min(grid)) / 2.0
+  origin = jnp.asarray([-0.5 * n * HEIGHTFIELD_CELL] * 2)
+  return grid, origin, zoff, n
+
+
+def gen_random_heightfield(key: jax.Array) -> TerrainState:
+  grid, origin, zoff, _ = _random_heightfield_arrays(key)
+  ts = _empty(num_boxes=0, hf_n=HEIGHTFIELD_N)
+  return ts.replace(height=grid, hf_origin=origin, hf_zoff=zoff)
+
+
+def gen_stairs(key: jax.Array) -> TerrainState:
+  """7 overlapping slabs forming an up-then-down staircase; goal at x=10."""
+  del key
+  xs = 2.75 + 0.44 * np.array([0, 1, 2, 3, 4, 5, 6])
+  lvl = np.array([1, 2, 3, 4, 3, 2, 1], np.float32)
+  boxes = np.zeros((7, 8), np.float32)
+  boxes[:, 0] = xs
+  boxes[:, 2] = -0.2 + lvl * 0.10
+  boxes[:, 3:6] = [2.0, 25.0, 0.2]
+  boxes[:, 7] = 1.0
+  ts = _empty(num_boxes=0)
+  return ts.replace(boxes=jnp.asarray(boxes),
+                    box_dirs=jnp.full((7,), 16, jnp.int32),
+                    goal_pos=jnp.asarray([10.0, 0.0, 0.0]))
+
+
+def _gaussian_landscape(key, n, cell, num_bumps, height_scale,
+                        flat_radius, extent):
+  ks = jax.random.split(key, 3)
+  centers = jax.random.uniform(ks[0], (num_bumps, 2), minval=-extent,
+                               maxval=extent)
+  sigmas = jax.random.uniform(ks[1], (num_bumps,), minval=0.8, maxval=3.0)
+  amps = jax.random.uniform(ks[2], (num_bumps,), minval=0.3,
+                            maxval=1.0) * height_scale
+  xs = (jnp.arange(n) - n / 2) * cell
+  gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
+  pts = jnp.stack([gx, gy], axis=-1)
+  d2 = jnp.sum((pts[:, :, None, :] - centers[None, None]) ** 2, axis=-1)
+  grid = jnp.sum(amps * jnp.exp(-d2 / (2 * sigmas**2)), axis=-1)
+  # flatten the start area
+  r2 = gx**2 + gy**2
+  grid = grid * jnp.clip((jnp.sqrt(r2) - flat_radius) / flat_radius, 0, 1)
+  return grid
+
+
+def gen_hill(key: jax.Array) -> TerrainState:
+  """Procedural stand-in for heightmaps/ground0.txt (0.2 z-scale hills)."""
+  n = 128
+  cell = 0.2
+  grid = _gaussian_landscape(key, n, cell, num_bumps=40, height_scale=2.0,
+                             flat_radius=1.5, extent=10.0)
+  ts = _empty(num_boxes=0, hf_n=n)
+  return ts.replace(height=grid, hf_cell=jnp.asarray(cell),
+                    hf_origin=jnp.asarray([-n / 2 * cell, -n / 2 * cell]),
+                    hf_zoff=jnp.asarray(0.0))
+
+
+def gen_mount(key: jax.Array, goal: bool = True) -> TerrainState:
+  """One dominant peak to climb; goal sphere near the top
+  (GOAL_POS['mounts'][1] ~ [2.5, 8.0, 2.7])."""
+  n = 128
+  cell = 0.2
+  xs = (jnp.arange(n) - n / 2) * cell
+  gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
+  peak = jnp.array([2.5, 8.0])
+  d2 = (gx - peak[0]) ** 2 + (gy - peak[1]) ** 2
+  grid = 3.0 * jnp.exp(-d2 / (2 * 4.0**2))
+  bumps = _gaussian_landscape(key, n, cell, num_bumps=20, height_scale=0.4,
+                              flat_radius=1.0, extent=10.0)
+  grid = grid + bumps
+  ts = _empty(num_boxes=0, hf_n=n)
+  return ts.replace(
+      height=grid, hf_cell=jnp.asarray(cell),
+      hf_origin=jnp.asarray([-n / 2 * cell, -n / 2 * cell]),
+      hf_zoff=jnp.asarray(0.0),
+      goal_pos=jnp.asarray([2.5, 8.0, 2.7]) if goal else jnp.zeros(3))
+
+
+def moving_blocks_step(terrain: TerrainState, step_counter: jnp.ndarray,
+                       key: jax.Array, num_moving: int) -> TerrainState:
+  """Per-step obstacle displacement + 150-step direction flips
+  (a1_randomizer_ground.py:411-443)."""
+  dirs = terrain.box_dirs
+  disp = jnp.asarray(_DIRECTION)[dirs]          # (K, 2)
+  moving_mask = (jnp.arange(dirs.shape[0]) < num_moving)[:, None]
+  boxes = terrain.boxes.at[:, 0:2].add(disp * moving_mask)
+  flip = (step_counter % 150) == 0
+  flipped = jnp.asarray(_FLIP)[dirs]
+  rand = jax.random.randint(key, dirs.shape, 0, 20)
+  new_dirs = jnp.where(dirs >= 4, rand, flipped)
+  dirs = jnp.where(flip, jnp.where(moving_mask[:, 0], new_dirs, dirs), dirs)
+  return terrain.replace(boxes=boxes, box_dirs=dirs)
+
+
+TERRAIN_GENERATORS = {
+    "plane": gen_plane,
+    "random_blocks": lambda k: gen_blocks_sparse(k),  # 20-block variant TODO
+    "random_blocks_sparse": lambda k: gen_blocks_sparse(k),
+    "random_blocks_sparse_with_subgoal":
+        lambda k: gen_blocks_sparse(k, subgoal=True),
+    "random_blocks_sparse_thin_wide":
+        lambda k: gen_blocks_sparse(k, thin_wide=True),
+    "random_blocks_sparse_and_heightfield":
+        lambda k: gen_blocks_sparse(k, heightfield=True),
+    "random_blocks_sparse_with_subgoal_heightfield":
+        lambda k: gen_blocks_sparse(k, subgoal=True, heightfield=True),
+    "random_heightfield": gen_random_heightfield,
+    "stairs": gen_stairs,
+    "random_hill": gen_hill,
+    "random_mount": lambda k: gen_mount(k, goal=False),
+    "mount": lambda k: gen_mount(k, goal=True),
+}
+
+# terrains whose ground is the flat z=0 plane (fast path for contact/camera)
+FLAT_TERRAINS = frozenset([
+    "plane", "random_blocks", "random_blocks_sparse",
+    "random_blocks_sparse_with_subgoal", "random_blocks_sparse_thin_wide",
+    "stairs",
+])
+
+# per-type init pose (QUADRUPED_INIT_POSITION, a1_randomizer_ground.py:286)
+INIT_POSITION = {
+    "plane": (0, 0, 0.32),
+    "random_blocks": (0, 0, 0.32),
+    "random_blocks_sparse": (0, 0, 0.32),
+    "random_heightfield": (0, 0, 0.32),
+    "stairs": (-0.15, 0, 0.32),
+    "random_blocks_sparse_and_heightfield": (0, 0, 0.32),
+    "random_blocks_sparse_with_subgoal_heightfield": (0, 0, 0.32),
+    "random_blocks_sparse_with_subgoal": (0, 0, 0.32),
+    "random_blocks_sparse_thin_wide": (0, 0, 0.32),
+    "random_hill": (0, 0, 2.25),
+    "mount": (1, 1, 1.56),
+    "random_mount": (1, 1, 1.56),
+}

@@ -1,0 +1,179 @@
+"""Actor-critic modules with the reference's encoder sharing.
+
+All three reference starters share the feature extractor between policy and
+value function (`ppo_state.py:104` `vf.base = pf.base`;
+`ppo_locotransformer.py:79-101` / `ppo_nature_cnn.py:81-100` pass one
+`encoder` object to both).  Policies carry a state-independent learnable
+logstd initialized to log(0.125), clamped to [-5, 2]
+(continuous_policy.py:8-9, 239-254).
+
+Each module exposes:
+  pi(x)  -> (mean, std, logstd)
+  v(x)   -> (B, 1) value
+  __call__(x) -> (pi(x), v(x))   (used for parameter init)
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from vision4leg_tpu.models import init as winit
+from vision4leg_tpu.models.base import (LocoTransformerEncoder, MLPBase,
+                                        NatureFuseEncoder,
+                                        TransformerEncoderLayer)
+
+LOG_SIG_MAX = 2.0
+LOG_SIG_MIN = -5.0
+
+
+class _GaussianHead(nn.Module):
+  """Learnable state-independent logstd (GaussianContPolicyBasicBias)."""
+  action_dim: int
+  log_init: float = 0.125
+
+  @nn.compact
+  def __call__(self, mean):
+    logstd = self.param(
+        "logstd", lambda k, s: jnp.full(s, float(np.log(self.log_init))),
+        (self.action_dim,))
+    logstd = jnp.clip(logstd, LOG_SIG_MIN, LOG_SIG_MAX)
+    std = jnp.broadcast_to(jnp.exp(logstd), mean.shape)
+    return mean, std, logstd
+
+
+class MLPHead(nn.Module):
+  """Append-FC stack + small-uniform output layer (nets.py:16-70 tail)."""
+  hidden_shapes: Sequence[int]
+  out_dim: int
+
+  @nn.compact
+  def __call__(self, x):
+    for h in self.hidden_shapes:
+      x = nn.Dense(h, kernel_init=winit.fanin_uniform(),
+                   bias_init=winit.constant_bias(0.1))(x)
+      x = nn.relu(x)
+    return nn.Dense(self.out_dim, kernel_init=winit.uniform_small(),
+                    bias_init=winit.uniform_small())(x)
+
+
+class StateActorCritic(nn.Module):
+  """ppo_state: shared MLPBase + separate append-FC heads
+  (starter/ppo_state.py:93-104)."""
+  action_dim: int
+  hidden_shapes: Sequence[int] = (256, 256)
+  append_hidden_shapes: Sequence[int] = (256, 256)
+  log_init: float = 0.125
+
+  def setup(self):
+    self.base = MLPBase(self.hidden_shapes)
+    self.head = _GaussianHead(self.action_dim, self.log_init)
+    self.pf_mlp = MLPHead(self.append_hidden_shapes, self.action_dim)
+    self.vf_mlp = MLPHead(self.append_hidden_shapes, 1)
+
+  def pi(self, x):
+    return self.head(self.pf_mlp(self.base(x)))
+
+  def v(self, x):
+    return self.vf_mlp(self.base(x))
+
+  def __call__(self, x):
+    return self.pi(x), self.v(x)
+
+
+class LocoTransformerActorCritic(nn.Module):
+  """ppo_locotransformer: shared LocoTransformerEncoder tokenizer; separate
+  transformer stacks + MLP heads per pf/vf (the reference shares only the
+  `encoder`; each LocoTransformer net owns its attention layers)."""
+  action_dim: int
+  state_input_shape: int
+  visual_input_shape: Tuple[int, int, int]  # (C, 64, 64)
+  encoder_hidden_shapes: Sequence[int] = (256, 256)
+  transformer_params: Sequence[tuple] = ((1, 256), (1, 256))
+  append_hidden_shapes: Sequence[int] = (256, 256)
+  token_dim: int = 64
+  max_pool: bool = False
+  log_init: float = 0.125
+
+  def setup(self):
+    self.encoder = LocoTransformerEncoder(
+        in_channels=self.visual_input_shape[0],
+        hidden_shapes=self.encoder_hidden_shapes,
+        token_dim=self.token_dim)
+    self.head = _GaussianHead(self.action_dim, self.log_init)
+    self.pf_layers = [
+        TransformerEncoderLayer(self.token_dim, nh, ff)
+        for nh, ff in self.transformer_params]
+    self.vf_layers = [
+        TransformerEncoderLayer(self.token_dim, nh, ff)
+        for nh, ff in self.transformer_params]
+    self.pf_mlp = MLPHead(self.append_hidden_shapes, self.action_dim)
+    self.vf_mlp = MLPHead(self.append_hidden_shapes, 1)
+
+  def _tokens(self, x):
+    state_x = x[..., : self.state_input_shape]
+    visual_x = x[..., self.state_input_shape:].reshape(
+        x.shape[:-1] + tuple(self.visual_input_shape))
+    return self.encoder(visual_x, state_x)
+
+  def _pool(self, tokens):
+    """State token + mean/max pooled per-modality tokens (nets.py:1014-1030)."""
+    per_modal = self.encoder.per_modal_tokens
+    second = self.visual_input_shape[0] == 16
+    pool = ((lambda t: jnp.max(t, axis=1)) if self.max_pool
+            else (lambda t: jnp.mean(t, axis=1)))
+    outs = [tokens[:, 0], pool(tokens[:, 1: 1 + per_modal])]
+    if second:
+      outs.append(pool(tokens[:, 1 + per_modal: 1 + 2 * per_modal]))
+    return jnp.concatenate(outs, axis=-1)
+
+  def pi(self, x):
+    t = self._tokens(x)
+    for layer in self.pf_layers:
+      t = layer(t)
+    return self.head(self.pf_mlp(self._pool(t)))
+
+  def v(self, x):
+    t = self._tokens(x)
+    for layer in self.vf_layers:
+      t = layer(t)
+    return self.vf_mlp(self._pool(t))
+
+  def __call__(self, x):
+    return self.pi(x), self.v(x)
+
+
+class NatureFuseActorCritic(nn.Module):
+  """ppo_nature_cnn: shared NatureFuseEncoder + separate MLP heads
+  (starter/ppo_nature_cnn.py:81-100)."""
+  action_dim: int
+  state_input_shape: int
+  visual_input_shape: Tuple[int, int, int]
+  encoder_hidden_shapes: Sequence[int] = (256, 256)
+  visual_dim: int = 256
+  append_hidden_shapes: Sequence[int] = (256, 256)
+  log_init: float = 0.125
+
+  def setup(self):
+    self.encoder = NatureFuseEncoder(
+        hidden_shapes=self.encoder_hidden_shapes, visual_dim=self.visual_dim)
+    self.head = _GaussianHead(self.action_dim, self.log_init)
+    self.pf_mlp = MLPHead(self.append_hidden_shapes, self.action_dim)
+    self.vf_mlp = MLPHead(self.append_hidden_shapes, 1)
+
+  def _features(self, x):
+    state_x = x[..., : self.state_input_shape]
+    visual_x = x[..., self.state_input_shape:].reshape(
+        x.shape[:-1] + tuple(self.visual_input_shape))
+    return self.encoder(visual_x, state_x)
+
+  def pi(self, x):
+    return self.head(self.pf_mlp(self._features(x)))
+
+  def v(self, x):
+    return self.vf_mlp(self._features(x))
+
+  def __call__(self, x):
+    return self.pi(x), self.v(x)

@@ -1,0 +1,173 @@
+"""Encoder modules (Flax): MLPBase, NatureEncoder, ImpalaEncoder,
+LocoTransformerEncoder — ref: torchrl/networks/base.py.
+
+Conventions: inputs are batched (B, ...); images arrive channel-first
+(B, C, 64, 64) exactly like the reference's flattened `raw_img` tail, and
+are transposed to NHWC internally for TPU-friendly convolutions.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from vision4leg_tpu.models import init as winit
+
+
+class MLPBase(nn.Module):
+  """MLP stack with fanin-uniform init (base.py:8-44)."""
+  hidden_shapes: Sequence[int]
+  activation: Callable = nn.relu
+
+  @nn.compact
+  def __call__(self, x):
+    for h in self.hidden_shapes:
+      x = nn.Dense(h, kernel_init=winit.fanin_uniform(),
+                   bias_init=winit.constant_bias(0.1))(x)
+      x = self.activation(x)
+    return x
+
+
+class NatureEncoder(nn.Module):
+  """Atari Nature CNN (base.py:304-343): 32c8s4 - 64c4s2 - 64c3s1, ReLU,
+  orthogonal(sqrt 2) init.  Input (B, C, 64, 64); output (B, 4, 4, 64*groups)
+  when flatten=False, else (B, 1024*groups)."""
+  groups: int = 1
+  flatten: bool = True
+
+  @nn.compact
+  def __call__(self, x):
+    x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
+    conv = lambda feat, k, s: nn.Conv(
+        feat, (k, k), strides=(s, s), padding="VALID",
+        kernel_init=winit.orthogonal(), bias_init=nn.initializers.zeros)
+    x = nn.relu(conv(32 * self.groups, 8, 4)(x))
+    x = nn.relu(conv(64 * self.groups, 4, 2)(x))
+    x = nn.relu(conv(64 * self.groups, 3, 1)(x))
+    if self.flatten:
+      # torch flattens (C, H, W) order; match it for weight-layout parity
+      x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+    return x
+
+
+class ImpalaResBlock(nn.Module):
+  feats: int
+
+  @nn.compact
+  def __call__(self, x):
+    h = nn.relu(x)
+    h = nn.Conv(self.feats, (3, 3), padding="SAME")(h)
+    h = nn.relu(h)
+    h = nn.Conv(self.feats, (3, 3), padding="SAME")(h)
+    return x + h
+
+
+class ImpalaEncoder(nn.Module):
+  """Residual conv stack (base.py:158-207)."""
+  flatten: bool = True
+
+  @nn.compact
+  def __call__(self, x):
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    for feats in (16, 32, 32):
+      x = nn.Conv(feats, (3, 3), padding="SAME")(x)
+      x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+      x = ImpalaResBlock(feats)(x)
+      x = ImpalaResBlock(feats)(x)
+    x = nn.relu(x)
+    if self.flatten:
+      x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+    return x
+
+
+class RLProjection(nn.Module):
+  """Linear + ReLU projection (base.py:209-230)."""
+  out_dim: int
+
+  @nn.compact
+  def __call__(self, x):
+    x = nn.Dense(self.out_dim, kernel_init=winit.fanin_uniform(),
+                 bias_init=winit.constant_bias(0.1))(x)
+    return nn.relu(x)
+
+
+class NatureFuseEncoder(nn.Module):
+  """Visual Nature encoder + proprio MLP, concatenated (base.py:345-386):
+  the `ppo_nature_cnn` baseline's backbone."""
+  hidden_shapes: Sequence[int]
+  visual_dim: int = 256
+
+  @nn.compact
+  def __call__(self, visual_x, state_x):
+    v = NatureEncoder(flatten=True)(visual_x)
+    v = RLProjection(self.visual_dim)(v)
+    s = MLPBase(self.hidden_shapes)(state_x)
+    return jnp.concatenate([v, s], axis=-1)
+
+
+class LocoTransformerEncoder(nn.Module):
+  """Tokenizer (base.py:497-627): per-modality NatureEncoder -> 1x1 (or 2x2
+  stride-2) conv to token_dim -> 16 (or 4) spatial tokens per modality, plus
+  one projected proprio token.  Output: (B, 1 + M*tokens, token_dim)."""
+  in_channels: int
+  hidden_shapes: Sequence[int]
+  token_dim: int = 64
+  two_by_two: bool = False
+  visual_dim: int | None = None  # accepted for config parity; unused (the
+  # reference's ctor swallows it into **kwargs, base.py:497-507)
+
+  @property
+  def per_modal_tokens(self) -> int:
+    return 4 if self.two_by_two else 16
+
+  @nn.compact
+  def __call__(self, visual_x, state_x):
+    tokens = []
+    # proprio token first (token order: state, [rgb], depth — base.py:611-622)
+    s = MLPBase(self.hidden_shapes)(state_x)
+    s = RLProjection(self.token_dim)(s)
+    tokens.append(s[:, None, :])
+
+    def modality(img):
+      h = NatureEncoder(flatten=False)(img)          # (B, 4, 4, 64)
+      if self.two_by_two:
+        h = nn.Conv(self.token_dim, (2, 2), strides=(2, 2), padding="VALID",
+                    kernel_init=winit.orthogonal(),
+                    bias_init=nn.initializers.zeros)(h)
+      else:
+        h = nn.Conv(self.token_dim, (1, 1), padding="VALID",
+                    kernel_init=winit.orthogonal(),
+                    bias_init=nn.initializers.zeros)(h)
+      # torch reshape (B, C, P, P) -> (B, C, P*P) -> tokens (P*P, B, C);
+      # batch-first here: (B, P*P, C) with the same token order
+      h = jnp.transpose(h, (0, 3, 1, 2))
+      return jnp.transpose(h.reshape(h.shape[0], h.shape[1], -1), (0, 2, 1))
+
+    if self.in_channels in (12, 16):
+      tokens.append(modality(visual_x[:, :12]))
+    if self.in_channels in (4, 16):
+      depth = visual_x[:, 12:] if self.in_channels == 16 else visual_x[:, :4]
+      tokens.append(modality(depth))
+    return jnp.concatenate(tokens, axis=1)
+
+
+class TransformerEncoderLayer(nn.Module):
+  """PyTorch nn.TransformerEncoderLayer semantics (post-norm, dropout=0):
+  x = LN(x + SelfAttn(x)); x = LN(x + FFN(x)).  Used by LocoTransformer
+  (nets.py:948-955)."""
+  d_model: int
+  n_head: int
+  dim_feedforward: int
+
+  @nn.compact
+  def __call__(self, x):  # (B, T, D)
+    attn = nn.MultiHeadDotProductAttention(
+        num_heads=self.n_head, qkv_features=self.d_model,
+        out_features=self.d_model)(x, x)
+    x = nn.LayerNorm()(x + attn)
+    h = nn.Dense(self.dim_feedforward)(x)
+    h = nn.relu(h)
+    h = nn.Dense(self.d_model)(h)
+    return nn.LayerNorm()(x + h)

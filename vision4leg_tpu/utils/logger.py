@@ -1,0 +1,104 @@
+"""Experiment logger: stdout table + TensorBoard + CSV + params.json.
+
+Mirrors torchrl/utils/logger.py:12-115: per-epoch scalar dict aggregated
+from per-update infos with mean/std/max/min, tensorboard scalars keyed on
+total frames, one CSV row per epoch, and a params.json provenance dump so
+viewers/deploy tooling can rebuild the exact network.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+import os.path as osp
+import shutil
+import sys
+import time
+from collections import OrderedDict
+from numbers import Number
+
+import numpy as np
+
+try:
+  from tensorboardX import SummaryWriter
+except Exception:  # pragma: no cover
+  SummaryWriter = None
+
+try:
+  import tabulate as _tabulate_mod
+  def _tabulate(rows):
+    return _tabulate_mod.tabulate(rows)
+except Exception:  # pragma: no cover
+  def _tabulate(rows):
+    return "\n".join(" | ".join(str(c) for c in r) for r in rows)
+
+
+class Logger:
+  def __init__(self, experiment_id, env_name, seed, params, log_dir,
+               overwrite=False):
+    self.experiment_id = experiment_id
+    self.env_name = env_name
+    self.seed = seed
+    self.work_dir = osp.join(log_dir, experiment_id, env_name, str(seed))
+    if osp.exists(self.work_dir):
+      if overwrite:
+        shutil.rmtree(self.work_dir)
+      else:
+        # keep existing runs unless told otherwise (args.py --overwrite)
+        pass
+    os.makedirs(self.work_dir, exist_ok=True)
+    self.tf_writer = (SummaryWriter(osp.join(self.work_dir, "log"))
+                      if SummaryWriter else None)
+    self.csv_file_path = osp.join(self.work_dir, "log.csv")
+    self.update_infos = {}
+    self.logger_dict = {}
+    self.csv_keys_written = False
+    with open(osp.join(self.work_dir, "params.json"), "w") as f:
+      json.dump(params, f, indent=2, default=str)
+    self.start_time = time.time()
+
+  def log(self, info: str):
+    print("[{:.3f}s] {}".format(time.time() - self.start_time, info),
+          flush=True)
+
+  def add_update_info(self, infos: dict):
+    """Accumulate per-minibatch update metrics (logger.py:58-64)."""
+    for k, v in infos.items():
+      self.update_infos.setdefault(k, []).append(float(np.asarray(v)))
+
+  def add_epoch_info(self, epoch_num, total_frames, total_time, infos,
+                     csv_write=True):
+    """Aggregate + emit one epoch of metrics (logger.py:66-115)."""
+    rows = [("Epoch", epoch_num), ("Time Consumed", total_time),
+            ("Total Frames", total_frames)]
+    out = OrderedDict()
+    out["EPOCH"] = epoch_num
+    out["Total Frames"] = total_frames
+    for k, v in infos.items():
+      if isinstance(v, Number) or np.isscalar(v) or (
+          hasattr(v, "ndim") and getattr(v, "ndim", 1) == 0):
+        v = float(np.asarray(v))
+        out[k] = v
+        rows.append((k, "{:.5f}".format(v)))
+        if self.tf_writer:
+          self.tf_writer.add_scalar(k, v, total_frames)
+    for k, vals in self.update_infos.items():
+      arr = np.array(vals)
+      stats = {"mean": arr.mean(), "std": arr.std(),
+               "max": arr.max(), "min": arr.min()}
+      for sk, sv in stats.items():
+        key = "{}_{}".format(k, sk)
+        out[key] = sv
+        if self.tf_writer:
+          self.tf_writer.add_scalar(key, sv, total_frames)
+      rows.append((k, "{:.5f} +- {:.5f}".format(stats["mean"], stats["std"])))
+    self.update_infos = {}
+    print(_tabulate(rows), flush=True)
+    if csv_write:
+      write_header = not self.csv_keys_written
+      with open(self.csv_file_path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(out.keys()))
+        if write_header:
+          w.writeheader()
+          self.csv_keys_written = True
+        w.writerow({k: out.get(k, "") for k in out})
