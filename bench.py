@@ -1,0 +1,99 @@
+"""Benchmark: env-steps/sec for LocoTransformer PPO (collect + update).
+
+This is BASELINE.json's north-star metric.  It times the fused jitted
+train-epoch program (on-device physics rollout + depth raycasting + PPO
+update) on the real TPU and prints ONE JSON line.
+
+`vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
+denominator is a documented estimate of the reference stack's throughput:
+PyBullet DIRECT A1 stepping with 64x64 EGL depth rendering plus per-step
+GPU round-trips collects ~2-4k env-steps/s on a typical 16-process node
+(the reference's own smoke probe, env_builder.py:542-556, prints ~300-600
+steps/s per process for the vision env).  We use 3000 env-steps/s as the
+reference collect+update estimate; BASELINE.json's 5x target is then
+vs_baseline >= 5.
+"""
+import json
+import os
+import time
+
+REFERENCE_ESTIMATE_STEPS_PER_SEC = 3000.0
+
+# allow local CPU runs for debugging: V4L_TPU_PLATFORM=cpu python bench.py
+if os.environ.get("V4L_TPU_PLATFORM"):
+  import jax
+  jax.config.update("jax_platforms", os.environ["V4L_TPU_PLATFORM"])
+
+import jax
+import jax.numpy as jnp
+
+from vision4leg_tpu.algo.agent import PPOAgent
+from vision4leg_tpu.algo.ppo import PPOConfig
+from vision4leg_tpu.envs.get_env import get_env
+from vision4leg_tpu.models.actor_critic import LocoTransformerActorCritic
+from vision4leg_tpu.utils.args import get_params
+
+
+class _NullLogger:
+  work_dir = "/tmp/v4l_bench"
+  def add_epoch_info(self, *a, **k): pass
+  def add_update_info(self, *a, **k): pass
+  def log(self, *a, **k): pass
+
+
+def main():
+  cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "config/rl/static/locotransformer/thin-goal.json")
+  params = get_params(cfg_path)
+  env, meta = get_env(params["env_name"], params["env"])
+
+  num_envs = int(os.environ.get("V4L_BENCH_ENVS", "256"))
+  epoch_frames = params["collector"]["epoch_frames"]
+
+  module = LocoTransformerActorCritic(
+      action_dim=env.cfg.action_dim,
+      state_input_shape=env.cfg.proprio_dim,
+      visual_input_shape=(4, 64, 64),
+      encoder_hidden_shapes=tuple(params["encoder"]["hidden_shapes"]),
+      transformer_params=tuple(
+          tuple(p) for p in params["net"]["transformer_params"]),
+      append_hidden_shapes=tuple(params["net"]["append_hidden_shapes"]),
+  )
+  gs, ppo = params["general_setting"], params["ppo"]
+  cfg = PPOConfig(
+      plr=ppo["plr"], vlr=ppo["vlr"], clip_para=ppo["clip_para"],
+      opt_epochs=ppo["opt_epochs"], entropy_coeff=ppo["entropy_coeff"],
+      discount=gs["discount"], tau=ppo["tau"],
+      batch_size=gs["batch_size"], num_epochs=gs["num_epochs"],
+      epoch_frames=epoch_frames,
+      max_episode_frames=params["collector"]["max_episode_frames"])
+
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
+                   seed=0, logger=_NullLogger(), save_dir="/tmp/v4l_bench",
+                   obs_norm=meta["obs_norm"])
+
+  # warm up / compile
+  key = jax.random.PRNGKey(0)
+  ts, cs, m = agent._train_epoch(agent.train_state, agent.collector_state,
+                                 key)
+  jax.block_until_ready(m)
+
+  n_epochs = int(os.environ.get("V4L_BENCH_EPOCHS", "3"))
+  t0 = time.time()
+  for i in range(n_epochs):
+    ts, cs, m = agent._train_epoch(ts, cs, jax.random.fold_in(key, i))
+  jax.block_until_ready(m)
+  dt = time.time() - t0
+
+  steps_per_sec = n_epochs * epoch_frames / dt
+  print(json.dumps({
+      "metric": "locotransformer_ppo_env_steps_per_sec",
+      "value": round(steps_per_sec, 1),
+      "unit": "env-steps/s (collect+update, thin-goal)",
+      "vs_baseline": round(steps_per_sec / REFERENCE_ESTIMATE_STEPS_PER_SEC,
+                           2),
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,80 @@
+"""Shared experiment wiring for starter scripts.
+
+Mirrors the reference starters' structure (starter/ppo_*.py): parse args +
+JSON config, build env / networks / collector / PPO, call train().  The
+env count is `--num_envs` (TPU-native: envs are vmapped device state), with
+`--vec_env_nums` kept as the fallback for reference-CLI parity.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import random
+
+import numpy as np
+
+# This host pins JAX_PLATFORMS=axon and re-asserts it during jax import;
+# honor an explicit platform override through the config API instead.
+if os.environ.get("V4L_TPU_PLATFORM"):
+  import jax
+  jax.config.update("jax_platforms", os.environ["V4L_TPU_PLATFORM"])
+  if os.environ.get("V4L_TPU_CPU_DEVICES"):
+    jax.config.update("jax_num_cpu_devices",
+                      int(os.environ["V4L_TPU_CPU_DEVICES"]))
+
+from vision4leg_tpu.algo.agent import PPOAgent
+from vision4leg_tpu.algo.ppo import PPOConfig
+from vision4leg_tpu.envs.get_env import get_env
+from vision4leg_tpu.utils.args import get_args, get_params
+from vision4leg_tpu.utils.logger import Logger
+
+
+def run_experiment(build_module):
+  """build_module(env, params) -> flax actor-critic module."""
+  args = get_args()
+  params = get_params(args.config)
+
+  env, meta = get_env(params["env_name"], params["env"])
+
+  num_envs = args.num_envs or max(args.vec_env_nums, 1)
+
+  random.seed(args.seed)
+  np.random.seed(args.seed)
+
+  experiment_name = (osp.split(osp.splitext(args.config)[0])[-1]
+                     if args.id is None else args.id)
+  logger = Logger(experiment_name, params["env_name"], args.seed, params,
+                  args.log_dir, args.overwrite)
+
+  module = build_module(env, params)
+
+  gs = params["general_setting"]
+  ppo = params["ppo"]
+  cfg = PPOConfig(
+      plr=ppo["plr"], vlr=ppo["vlr"], clip_para=ppo.get("clip_para", 0.2),
+      opt_epochs=ppo.get("opt_epochs", 10),
+      clipped_value_loss=ppo.get("clipped_value_loss", False),
+      entropy_coeff=ppo.get("entropy_coeff", 0.001),
+      discount=gs.get("discount", 0.99),
+      tau=ppo.get("tau", 0.95),
+      gae=gs.get("gae", True),
+      shuffle=ppo.get("shuffle", True),
+      batch_size=gs.get("batch_size", 1024),
+      num_epochs=gs.get("num_epochs", 1500),
+      epoch_frames=params["collector"].get("epoch_frames", 16384),
+      max_episode_frames=params["collector"].get("max_episode_frames", 999),
+      time_limit_filter=params["replay_buffer"].get("time_limit_filter",
+                                                    True),
+  )
+
+  agent = PPOAgent(
+      env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
+      seed=args.seed, logger=logger,
+      save_dir=osp.join(logger.work_dir, "model"),
+      eval_interval=gs.get("eval_interval", 10),
+      save_interval=gs.get("save_interval", 100),
+      num_eval_envs=max(2, params["collector"].get("eval_episodes", 2)),
+      obs_norm=meta["obs_norm"],
+  )
+  agent.train()
+  return agent

@@ -98,7 +98,9 @@ class PPOAgent:
       metrics["Training/avg_reward"] = traj.rewards.mean()
       return ts, cs, metrics
 
-    self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+    # no donation: trivial scalar leaves can alias (jnp constant caching)
+    # and XLA rejects duplicate donations; revisit for HBM-heavy configs
+    self._train_epoch = jax.jit(train_epoch)
     self._eval = jax.jit(eval_rollout)
 
     self.best_eval = -np.inf

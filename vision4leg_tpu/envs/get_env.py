@@ -1,0 +1,65 @@
+"""Environment construction from the reference JSON config schema.
+
+Mirrors vision4leg/get_env.py + vision4leg/env_dict.py: `env_name`
+("A1MoveGround") + the `env` section of a config JSON build an environment.
+The wrapper stack of the reference (RewardShift -> TimeLimit -> NormAct ->
+NormObs(WithImg), get_env.py:70-130) is realized functionally: NormAct +
+obs normalization live in the jitted collector, TimeLimit in the rollout
+step bookkeeping, reward_scale here.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+
+# env_dict.py:11-24
+TIMELIMIT = {"A1MoveGround": 1000, "A1MoveGroundMPC": 1000}
+
+# keys of build_a1_ground_env that map directly onto EnvConfig fields
+_DIRECT_KEYS = {
+    "motor_control_mode", "z_constrain", "other_direction_penalty",
+    "z_penalty", "diagonal_act", "num_action_repeat", "time_step_s",
+    "add_last_action_input", "enable_action_interpolation",
+    "enable_action_filter", "domain_randomization", "get_image",
+    "depth_image", "depth_norm", "grayscale", "rgbd", "terrain_type",
+    "alive_reward", "fall_reward", "target_vel", "random_init_range",
+    "check_contact", "frame_extract", "goal", "subgoal", "goal_coeff",
+    "subgoal_reward", "no_displacement", "get_image_interval",
+    "reset_frame_idx", "reset_frame_idx_each_step", "random_shape",
+    "moving", "curriculum", "interpolation", "fixed_delay_observation",
+    "empty_image",
+}
+
+
+def env_config_from_build_params(env_build: dict) -> EnvConfig:
+  kwargs = {}
+  for k, v in env_build.items():
+    if k in _DIRECT_KEYS:
+      kwargs[k] = v
+    elif k == "clip_num":
+      kwargs["clip_num"] = tuple(v) if v is not None else None
+    elif k == "fric_coeff":
+      kwargs["fric_coeff"] = tuple(v)
+    elif k in ("dir_update_interval", "random_dir", "rotate_sensor",
+               "record_video"):
+      if v:  # RandoDirWrapper / rotate sensor variants: round-2 work
+        raise NotImplementedError(f"env_build option {k}={v}")
+    else:
+      raise KeyError(f"unknown env_build key: {k}")
+  return EnvConfig(**kwargs)
+
+
+def get_env(env_name: str, env_params: dict) -> Tuple[A1GymEnv, dict]:
+  """Returns (env, meta) where meta carries reward_scale / obs_norm /
+  horizon for the collector layer (get_env.py:70-130 wrapper semantics)."""
+  if env_name != "A1MoveGround":
+    raise NotImplementedError(f"env {env_name} (A1MoveGroundMPC: round 2)")
+  env_build = dict(env_params.get("env_build", {}))
+  cfg = env_config_from_build_params(env_build)
+  meta = {
+      "reward_scale": env_params.get("reward_scale", 1.0),
+      "obs_norm": env_params.get("obs_norm", False),
+      "horizon": env_params.get("horizon", TIMELIMIT.get(env_name, 1000)),
+  }
+  return A1GymEnv(cfg), meta
