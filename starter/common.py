@@ -76,5 +76,5 @@ def run_experiment(build_module):
       num_eval_envs=max(2, params["collector"].get("eval_episodes", 2)),
       obs_norm=meta["obs_norm"],
   )
-  agent.train()
+  agent.train(resume=args.resume)
   return agent

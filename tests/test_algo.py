@@ -1,0 +1,263 @@
+"""Algorithm math tests: GAE vs a hand-rolled reference implementation,
+normalizer Welford math, PPO/A2C/VMPO/TRPO update smoke on a toy problem,
+off-policy learners smoke."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision4leg_tpu.algo.a2c import A2CConfig, A2CLearner
+from vision4leg_tpu.algo.off_policy.learners import (DQNLearner,
+                                                     OffPolicyConfig,
+                                                     TD3Learner,
+                                                     TwinSACQLearner)
+from vision4leg_tpu.algo.ppo import PPOConfig, PPOLearner
+from vision4leg_tpu.algo.trpo import TRPOConfig, TRPOLearner
+from vision4leg_tpu.algo.vmpo import VMPOConfig, VMPOLearner
+from vision4leg_tpu.collector.rollout import Transition
+from vision4leg_tpu.data import gae as gae_lib
+from vision4leg_tpu.data import normalizer as norm
+from vision4leg_tpu.models.actor_critic import StateActorCritic
+
+
+def ref_gae(rewards, values, terminals, time_limits, last_value, gamma, tau,
+            tl_filter):
+  """Direct transcription of the reference loop semantics
+  (replay_buffers/on_policy.py:17-45) in numpy."""
+  T, E = rewards.shape
+  vals = np.concatenate([values, last_value[None]], 0)
+  A = np.zeros(E)
+  advs = np.zeros((T, E))
+  rets = np.zeros((T, E))
+  for t in reversed(range(T)):
+    delta = rewards[t] + (1 - terminals[t]) * gamma * vals[t + 1] - vals[t]
+    A = delta + (1 - terminals[t]) * gamma * tau * A
+    if tl_filter:
+      A = A * (1 - time_limits[t])
+    advs[t] = A
+    rets[t] = A + vals[t]
+  return advs, rets
+
+
+def test_gae_matches_reference_semantics():
+  rng = np.random.RandomState(0)
+  T, E = 40, 3
+  rewards = rng.randn(T, E).astype(np.float32)
+  values = rng.randn(T, E).astype(np.float32)
+  terminals = (rng.rand(T, E) < 0.1).astype(np.float32)
+  time_limits = (rng.rand(T, E) < 0.05).astype(np.float32)
+  last_value = rng.randn(E).astype(np.float32)
+
+  for tl_filter in (True, False):
+    advs, rets = jax.jit(gae_lib.gae, static_argnums=(5, 6, 7))(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(terminals),
+        jnp.asarray(time_limits), jnp.asarray(last_value), 0.99, 0.95,
+        tl_filter)
+    r_advs, r_rets = ref_gae(rewards, values, terminals, time_limits,
+                             last_value, 0.99, 0.95, tl_filter)
+    np.testing.assert_allclose(np.array(advs), r_advs, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.array(rets), r_rets, rtol=2e-4, atol=1e-5)
+
+
+def test_normalizer_matches_baselines_math():
+  """Welford merge must equal direct full-data statistics."""
+  rng = np.random.RandomState(1)
+  data = rng.randn(100, 7).astype(np.float32) * 3 + 2
+  state = norm.init_normalizer(7)
+  upd = jax.jit(norm.update)
+  for i in range(10):
+    state = upd(state, jnp.asarray(data[i * 10: (i + 1) * 10]))
+  np.testing.assert_allclose(np.array(state.mean), data.mean(0), atol=1e-3)
+  np.testing.assert_allclose(np.array(state.var), data.var(0), atol=1e-2)
+
+
+def _toy_traj(key, T=16, E=4, D=10, A=3):
+  ks = jax.random.split(key, 8)
+  std = jnp.full((T, E, A), 0.3)
+  return Transition(
+      obs=jax.random.normal(ks[0], (T, E, D)),
+      acts=jax.random.normal(ks[1], (T, E, A)) * 0.3,
+      log_probs=jax.random.normal(ks[2], (T, E, 1)) * 0.1 - 1.0,
+      values=jax.random.normal(ks[3], (T, E, 1)),
+      rewards=jax.random.normal(ks[4], (T, E, 1)),
+      terminals=jnp.zeros((T, E, 1), bool),
+      time_limits=jnp.zeros((T, E, 1), bool),
+      means=jax.random.normal(ks[5], (T, E, A)) * 0.1,
+      stds=std,
+  )
+
+
+def _make(learner_cls, cfg_cls, **kw):
+  module = StateActorCritic(action_dim=3, hidden_shapes=(32,),
+                            append_hidden_shapes=(32,))
+  params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  cfg = cfg_cls(batch_size=16, epoch_frames=64, num_epochs=10,
+                opt_epochs=2, **kw)
+  learner = learner_cls(cfg, apply_pi, apply_v, params)
+  return learner, learner.init_state(params)
+
+
+def _run_epoch(learner, ts):
+  traj = _toy_traj(jax.random.PRNGKey(1))
+  last_value = jnp.zeros(4)
+
+  @jax.jit
+  def go(ts):
+    return learner.update_per_epoch(ts, traj, last_value,
+                                    jax.random.PRNGKey(2))
+
+  ts2, metrics = go(ts)
+  for k, v in metrics.items():
+    assert np.isfinite(float(v)), f"{k} not finite"
+  # params actually changed
+  p0 = jax.tree_util.tree_leaves(ts.params)[0]
+  p1 = jax.tree_util.tree_leaves(ts2.params)[0]
+  assert not np.allclose(np.array(p0), np.array(p1))
+  return ts2, metrics
+
+
+def test_ppo_update():
+  learner, ts = _make(PPOLearner, PPOConfig)
+  _, metrics = _run_epoch(learner, ts)
+  assert "ratio/max" in metrics
+
+
+def test_a2c_update():
+  learner, ts = _make(A2CLearner, A2CConfig)
+  _run_epoch(learner, ts)
+
+
+def test_vmpo_update():
+  learner, ts = _make(VMPOLearner, VMPOConfig)
+  ts2, metrics = _run_epoch(learner, ts)
+  assert float(ts2.extras["duals"]["eta"]) >= 1e-8
+  assert float(ts2.extras["duals"]["alpha"]) >= 1e-8
+
+
+def test_trpo_update():
+  learner, ts = _make(TRPOLearner, TRPOConfig, v_opt_times=2)
+  ts2, metrics = _run_epoch(learner, ts)
+  # trust region: KL after the step should be bounded near max_kl
+  assert float(metrics["Training/kl_after"]) < 10 * learner.cfg.max_kl
+
+
+def test_ppo_linear_lr_decay():
+  """The masked Adam schedule must decay linearly by epoch."""
+  learner, ts = _make(PPOLearner, PPOConfig)
+  traj = _toy_traj(jax.random.PRNGKey(1))
+  last_value = jnp.zeros(4)
+
+  @jax.jit
+  def go(ts):
+    return learner.update_per_epoch(ts, traj, last_value,
+                                    jax.random.PRNGKey(2))[0]
+
+  for _ in range(3):
+    ts = go(ts)
+  assert int(ts.epoch) == 3
+
+
+# ---------------------------------------------------------------------------
+# off-policy
+# ---------------------------------------------------------------------------
+
+def test_twin_sac_q_update():
+  from vision4leg_tpu.models.off_policy_nets import (QNet,
+                                                     TanhGaussianPolicy)
+  D, A, B = 10, 3, 16
+  pf = TanhGaussianPolicy(action_dim=A, hidden_shapes=(32,))
+  qf = QNet(hidden_shapes=(32,))
+  k = jax.random.PRNGKey(0)
+  pf_p = pf.init(k, jnp.zeros((1, D)))
+  q1_p = qf.init(jax.random.fold_in(k, 1), jnp.zeros((1, D)),
+                 jnp.zeros((1, A)))
+  q2_p = qf.init(jax.random.fold_in(k, 2), jnp.zeros((1, D)),
+                 jnp.zeros((1, A)))
+  learner = TwinSACQLearner(OffPolicyConfig(), pf.apply, qf.apply, A)
+  state = learner.init_state(pf_p, q1_p, q2_p)
+  batch = {
+      "obs": jax.random.normal(k, (B, D)),
+      "acts": jnp.clip(jax.random.normal(k, (B, A)), -1, 1),
+      "next_obs": jax.random.normal(jax.random.fold_in(k, 3), (B, D)),
+      "rewards": jax.random.normal(jax.random.fold_in(k, 4), (B, 1)),
+      "terminals": jnp.zeros((B, 1)),
+  }
+  state2, metrics = jax.jit(learner.update)(state, batch,
+                                            jax.random.PRNGKey(5))
+  for key, v in metrics.items():
+    assert np.isfinite(float(v)), key
+  assert int(state2.update_count) == 1
+
+
+def test_td3_update():
+  from vision4leg_tpu.models.off_policy_nets import DetTanhPolicy, QNet
+  D, A, B = 10, 3, 16
+  pf = DetTanhPolicy(action_dim=A, hidden_shapes=(32,))
+  qf = QNet(hidden_shapes=(32,))
+  k = jax.random.PRNGKey(0)
+  pf_p = pf.init(k, jnp.zeros((1, D)))
+  q1_p = qf.init(jax.random.fold_in(k, 1), jnp.zeros((1, D)),
+                 jnp.zeros((1, A)))
+  q2_p = qf.init(jax.random.fold_in(k, 2), jnp.zeros((1, D)),
+                 jnp.zeros((1, A)))
+  learner = TD3Learner(OffPolicyConfig(), pf.apply, qf.apply)
+  state = learner.init_state(pf_p, q1_p, q2_p)
+  batch = {
+      "obs": jax.random.normal(k, (B, D)),
+      "acts": jnp.clip(jax.random.normal(k, (B, A)), -1, 1),
+      "next_obs": jax.random.normal(jax.random.fold_in(k, 3), (B, D)),
+      "rewards": jax.random.normal(jax.random.fold_in(k, 4), (B, 1)),
+      "terminals": jnp.zeros((B, 1)),
+  }
+  state2, metrics = jax.jit(learner.update)(state, batch,
+                                            jax.random.PRNGKey(5))
+  for key, v in metrics.items():
+    assert np.isfinite(float(v)), key
+
+
+def test_dqn_variants():
+  from vision4leg_tpu.models.off_policy_nets import (BootstrappedQNet,
+                                                     DiscreteQNet)
+  D, A, B = 8, 4, 16
+  k = jax.random.PRNGKey(0)
+  batch = {
+      "obs": jax.random.normal(k, (B, D)),
+      "acts": jax.random.randint(jax.random.fold_in(k, 1), (B,), 0, A),
+      "next_obs": jax.random.normal(jax.random.fold_in(k, 2), (B, D)),
+      "rewards": jax.random.normal(jax.random.fold_in(k, 3), (B, 1)),
+      "terminals": jnp.zeros((B, 1)),
+  }
+  for mode, net in (
+      ("dqn", DiscreteQNet(num_actions=A, hidden_shapes=(32,))),
+      ("qrdqn", DiscreteQNet(num_actions=A, hidden_shapes=(32,),
+                             num_quantiles=32)),
+      ("bootstrapped", BootstrappedQNet(num_actions=A, num_heads=5,
+                                        hidden_shapes=(32,))),
+  ):
+    qp = net.init(k, jnp.zeros((1, D)))
+    learner = DQNLearner(OffPolicyConfig(), net.apply, mode=mode)
+    state = learner.init_state(qp)
+    state2, metrics = jax.jit(learner.update)(state, batch,
+                                              jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["Training/qf_loss"])), mode
+
+
+def test_replay_buffer():
+  from vision4leg_tpu.data import replay
+  rb = replay.init_replay(32, {"obs": jnp.zeros(4), "acts": jnp.zeros(2)})
+  add = jax.jit(replay.add_batch)
+  for i in range(5):
+    rb = add(rb, {"obs": jnp.full((10, 4), i, jnp.float32),
+                  "acts": jnp.full((10, 2), i, jnp.float32)})
+  assert int(rb.size) == 32
+  batch = jax.jit(replay.sample, static_argnums=2)(
+      rb, jax.random.PRNGKey(0), 16)
+  assert batch["obs"].shape == (16, 4)

@@ -107,6 +107,43 @@ class PPOAgent:
     self.total_frames = 0
 
   # ------------------------------------------------------------------
+  def save_checkpoint(self, epoch: int):
+    """Full training checkpoint: params + BOTH optimizer states + duals +
+    collector (normalizer, env states, RNG) — a true resume point.  The
+    reference only saves model weights (rl_algo.py:84-95, no resume path);
+    this is the superset SURVEY.md 5 calls for."""
+    import orbax.checkpoint as ocp
+    path = osp.join(osp.abspath(self.save_dir), "checkpoint")
+    ckpt = {"train_state": self.train_state,
+            "collector_state": self.collector_state,
+            "key": self.key,
+            "epoch": epoch,
+            "best_eval": self.best_eval,
+            "total_frames": self.total_frames}
+    with ocp.PyTreeCheckpointer() as ckptr:
+      ckptr.save(path, ckpt, force=True)
+
+  def restore_checkpoint(self) -> int:
+    """Restore a full checkpoint if present; returns the next epoch."""
+    import orbax.checkpoint as ocp
+    path = osp.join(osp.abspath(self.save_dir), "checkpoint")
+    if not osp.exists(path):
+      return 0
+    template = {"train_state": self.train_state,
+                "collector_state": self.collector_state,
+                "key": self.key,
+                "epoch": 0,
+                "best_eval": self.best_eval,
+                "total_frames": self.total_frames}
+    with ocp.PyTreeCheckpointer() as ckptr:
+      ckpt = ckptr.restore(path, item=template)
+    self.train_state = ckpt["train_state"]
+    self.collector_state = ckpt["collector_state"]
+    self.key = ckpt["key"]
+    self.best_eval = ckpt["best_eval"]
+    self.total_frames = ckpt["total_frames"]
+    return int(ckpt["epoch"]) + 1
+
   def snapshot(self, suffix: str):
     """Save params + normalizer (rl_algo.py:84-95 naming scheme)."""
     path = osp.join(self.save_dir, f"model_pf_{suffix}.flax")
@@ -117,10 +154,13 @@ class PPOAgent:
              mean=np.asarray(nrm.mean), var=np.asarray(nrm.var),
              count=np.asarray(nrm.count))
 
-  def train(self):
+  def train(self, resume: bool = False):
     cfg = self.cfg
     start = time.time()
-    for epoch in range(cfg.num_epochs):
+    start_epoch = self.restore_checkpoint() if resume else 0
+    if start_epoch:
+      self.logger.log(f"resumed from checkpoint at epoch {start_epoch}")
+    for epoch in range(start_epoch, cfg.num_epochs):
       t0 = time.time()
       self.key, k_up, k_ev = jax.random.split(self.key, 3)
       self.train_state, self.collector_state, metrics = self._train_epoch(
@@ -153,6 +193,7 @@ class PPOAgent:
 
       if (epoch + 1) % self.save_interval == 0:
         self.snapshot(str(epoch + 1))
+        self.save_checkpoint(epoch)
 
       self.logger.add_epoch_info(epoch, self.total_frames,
                                  time.time() - start, infos)

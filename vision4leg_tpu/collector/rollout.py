@@ -36,6 +36,11 @@ class Transition(NamedTuple):
   rewards: jnp.ndarray      # (T, E, 1)
   terminals: jnp.ndarray    # (T, E, 1) bool
   time_limits: jnp.ndarray  # (T, E, 1) bool
+  # behavior-policy distribution at collection time — the frozen `target_pf`
+  # of PPO/VMPO/TRPO is a copy made before any update (ppo.py:34), so its
+  # outputs equal these
+  means: jnp.ndarray        # (T, E, A)
+  stds: jnp.ndarray         # (T, E, A)
 
 
 @struct.dataclass
@@ -59,7 +64,8 @@ def init_collector(env, num_envs: int, key: jax.Array) -> CollectorState:
       raw_obs=raw_obs,
       ep_steps=jnp.zeros(num_envs, jnp.int32),
       ep_return=jnp.zeros(num_envs),
-      normalizer=norm.init_normalizer(env.obs_dim),
+      # NormObsWithImg normalizes only the proprio head (get_env.py:41-67)
+      normalizer=norm.init_normalizer(env.cfg.proprio_dim),
       finished_returns_sum=jnp.zeros(()),
       finished_count=jnp.zeros(()),
       key=k_state,
@@ -149,7 +155,7 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     tr = Transition(
         obs=obs, acts=act, log_probs=log_prob, values=value,
         rewards=rew[..., None], terminals=terminal[..., None],
-        time_limits=tl_done[..., None])
+        time_limits=tl_done[..., None], means=mean, stds=std)
     return (params, new_cs), tr
 
   def rollout(params, cs: CollectorState):

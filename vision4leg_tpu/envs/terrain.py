@@ -149,10 +149,14 @@ def gen_plane(key: jax.Array) -> TerrainState:
 
 
 def _jittered_corridor_points(key, n, lo, hi):
-  """Stratified jittered sampling of n points in the box [lo, hi]."""
-  # grid as square as possible
+  """Stratified jittered sampling of n points in the box [lo, hi].
+
+  lo/hi must be Python tuples (grid layout is static).
+  """
   nx = int(math.ceil(math.sqrt(n * (hi[0] - lo[0]) / (hi[1] - lo[1]))))
   ny = int(math.ceil(n / nx))
+  lo = jnp.asarray(lo)
+  hi = jnp.asarray(hi)
   xs = jnp.linspace(lo[0], hi[0], nx + 1)[:-1]
   ys = jnp.linspace(lo[1], hi[1], ny + 1)[:-1]
   cw = jnp.array([(hi[0] - lo[0]) / nx, (hi[1] - lo[1]) / ny])
@@ -171,8 +175,7 @@ def gen_blocks_sparse(key: jax.Array, random_shape: bool = False,
   """random_blocks_sparse family: 50 pillars in a fenced corridor."""
   kb, ks, kh, kshape = jax.random.split(key, 4)
   n = NUM_SPARSE_BLOCKS
-  centers = _jittered_corridor_points(
-      kb, n, jnp.array([2.5, -3.0]), jnp.array([28.5, 3.0]))
+  centers = _jittered_corridor_points(kb, n, (2.5, -3.0), (28.5, 3.0))
   half = jnp.tile(jnp.array([SPARSE_HALF_LEN, SPARSE_HALF_LEN,
                              SPARSE_HALF_HEIGHT]), (n, 1))
   cz = jnp.full((n,), SPARSE_HALF_HEIGHT)

@@ -145,6 +145,95 @@ class LocoTransformerActorCritic(nn.Module):
     return self.pi(x), self.v(x)
 
 
+class VisionOnlyTransformerActorCritic(nn.Module):
+  """ppo_locotransformer_vision_only: TransformerEncoder over image tokens
+  only (torchrl/networks/base.py:388 TransformerEncoder +
+  nets.py:784 Transformer + GaussianContPolicyTransformer); the proprio
+  part of the observation is ignored by both heads."""
+  action_dim: int
+  state_input_shape: int
+  visual_input_shape: Tuple[int, int, int]
+  encoder_hidden_shapes: Sequence[int] = (256, 256)
+  transformer_params: Sequence[tuple] = ((1, 256), (1, 256))
+  append_hidden_shapes: Sequence[int] = (256, 256)
+  token_dim: int = 64
+  max_pool: bool = False
+  log_init: float = 0.125
+
+  def setup(self):
+    self.encoder = LocoTransformerEncoder(
+        in_channels=self.visual_input_shape[0],
+        hidden_shapes=self.encoder_hidden_shapes,
+        token_dim=self.token_dim)
+    self.head = _GaussianHead(self.action_dim, self.log_init)
+    self.pf_layers = [
+        TransformerEncoderLayer(self.token_dim, nh, ff)
+        for nh, ff in self.transformer_params]
+    self.vf_layers = [
+        TransformerEncoderLayer(self.token_dim, nh, ff)
+        for nh, ff in self.transformer_params]
+    self.pf_mlp = MLPHead(self.append_hidden_shapes, self.action_dim)
+    self.vf_mlp = MLPHead(self.append_hidden_shapes, 1)
+
+  def _tokens(self, x):
+    state_x = x[..., : self.state_input_shape]
+    visual_x = x[..., self.state_input_shape:].reshape(
+        x.shape[:-1] + tuple(self.visual_input_shape))
+    return self.encoder(visual_x, state_x)
+
+  def _run(self, x, layers, mlp):
+    t = self._tokens(x)
+    for layer in layers:
+      t = layer(t)
+    pool = ((lambda z: jnp.max(z, axis=1)) if self.max_pool
+            else (lambda z: jnp.mean(z, axis=1)))
+    # vision-only: pool over the visual tokens, drop the state token
+    # (nets.py Transformer.forward pools out[1:])
+    return mlp(pool(t[:, 1:]))
+
+  def pi(self, x):
+    return self.head(self._run(x, self.pf_layers, self.pf_mlp))
+
+  def v(self, x):
+    return self._run(x, self.vf_layers, self.vf_mlp)
+
+  def __call__(self, x):
+    return self.pi(x), self.v(x)
+
+
+class VisualNetActorCritic(nn.Module):
+  """ppo_nature_cnn_vision_only: NatureEncoder features only
+  (nets.py:718 VisualNet)."""
+  action_dim: int
+  state_input_shape: int
+  visual_input_shape: Tuple[int, int, int]
+  visual_dim: int = 256
+  append_hidden_shapes: Sequence[int] = (256, 256)
+  log_init: float = 0.125
+
+  def setup(self):
+    from vision4leg_tpu.models.base import NatureEncoder, RLProjection
+    self.backbone = NatureEncoder(flatten=True)
+    self.proj = RLProjection(self.visual_dim)
+    self.head = _GaussianHead(self.action_dim, self.log_init)
+    self.pf_mlp = MLPHead(self.append_hidden_shapes, self.action_dim)
+    self.vf_mlp = MLPHead(self.append_hidden_shapes, 1)
+
+  def _features(self, x):
+    visual_x = x[..., self.state_input_shape:].reshape(
+        x.shape[:-1] + tuple(self.visual_input_shape))
+    return self.proj(self.backbone(visual_x))
+
+  def pi(self, x):
+    return self.head(self.pf_mlp(self._features(x)))
+
+  def v(self, x):
+    return self.vf_mlp(self._features(x))
+
+  def __call__(self, x):
+    return self.pi(x), self.v(x)
+
+
 class NatureFuseActorCritic(nn.Module):
   """ppo_nature_cnn: shared NatureFuseEncoder + separate MLP heads
   (starter/ppo_nature_cnn.py:81-100)."""

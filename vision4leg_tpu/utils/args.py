@@ -36,6 +36,9 @@ def get_args():
   parser.add_argument("--id", type=str, default=None,
                       help="experiment id")
   parser.add_argument("--overwrite", action="store_true", default=False)
+  parser.add_argument("--resume", action="store_true", default=False,
+                      help="resume from the run's full checkpoint "
+                           "(optimizer + RNG + normalizer state)")
   return parser.parse_args()
 
 
