@@ -1,0 +1,136 @@
+"""MPC stack tests: leg kinematics round trips and cross-checks against the
+physics-engine FK, plus convex-MPC standing forces."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision4leg_tpu.mpc import leg_kinematics as lk
+from vision4leg_tpu.physics import engine
+from vision4leg_tpu.robots import a1_model, a1_params as P
+
+
+def test_fk_matches_engine():
+  """foot_positions_base_frame must equal the engine's toe positions with
+  an identity base pose."""
+  model = a1_model.build()
+  key = jax.random.PRNGKey(0)
+
+  @jax.jit
+  def both(q):
+    s = engine.zero_state(model).replace(joint_q=q)
+    kin = engine.fwd_kinematics(model, s)
+    toes, _, _ = engine.contact_points_world(model, s, kin)
+    return lk.foot_positions_base_frame(q), toes[:4]
+
+  for seed in range(3):
+    lo, hi = np.asarray(P.JOINT_LOWER), np.asarray(P.JOINT_UPPER)
+    q = jnp.asarray(lo + (hi - lo) * np.random.RandomState(seed).rand(12),
+                    jnp.float32)
+    mine, eng = both(q)
+    np.testing.assert_allclose(np.array(mine), np.array(eng), atol=1e-5)
+
+
+def test_ik_roundtrip():
+  """IK(FK(q)) == q for random angles inside the joint limits."""
+  lo, hi = np.asarray(P.JOINT_LOWER), np.asarray(P.JOINT_UPPER)
+
+  @jax.jit
+  def roundtrip(q):
+    feet = lk.foot_positions_base_frame(q)
+    qs = [lk.foot_ik_base_frame(feet[leg], leg) for leg in range(4)]
+    return jnp.concatenate(qs)
+
+  rng = np.random.RandomState(1)
+  for _ in range(5):
+    # restrict to the locomotion envelope (foot below the hip-roll axis;
+    # the IK picks that branch, matching where swing targets live)
+    q = lo + (hi - lo) * rng.rand(12)
+    q[1::3] = 0.2 + 1.0 * rng.rand(4)       # thigh
+    q[2::3] = -2.2 + 1.2 * rng.rand(4)      # knee
+    q = jnp.asarray(q, jnp.float32)
+    q2 = roundtrip(q)
+    np.testing.assert_allclose(np.array(q2), np.array(q), atol=1e-4)
+
+
+def test_leg_jacobian_matches_fd():
+  q = jnp.asarray(np.array([0.1, 0.8, -1.7]), jnp.float32)
+
+  @jax.jit
+  def jac(q):
+    return lk.leg_jacobian(q, -1.0)
+
+  J = np.array(jac(q))
+  eps = 1e-4
+  for i in range(3):
+    qp = q.at[i].add(eps)
+    qm = q.at[i].add(-eps)
+    fd = (np.array(lk.foot_position_hip_frame(qp, -1.0))
+          - np.array(lk.foot_position_hip_frame(qm, -1.0))) / (2 * eps)
+    np.testing.assert_allclose(J[:, i], fd, atol=1e-2)
+
+
+def test_convex_mpc_standing():
+  """All four feet in stance, zero velocity at desired height: the MPC
+  should command ground-reaction forces ~ mg/4 each (returned negated)."""
+  from vision4leg_tpu.mpc.convex_mpc import MpcConfig, compute_contact_forces
+  cfg = MpcConfig(
+      mass=float(P.MPC_BODY_MASS),
+      inertia=tuple(float(x) for x in P.MPC_BODY_INERTIA),
+      qp_weights=(5, 5, 0.2, 0, 0, 10, 0., 0., 1., 1., 1., 0., 0),
+      admm_iters=60)
+  feet = np.array([[0.17, -0.13, -0.24], [0.17, 0.13, -0.24],
+                   [-0.19, -0.13, -0.24], [-0.19, 0.13, -0.24]], np.float32)
+  forces = compute_contact_forces(
+      cfg,
+      jnp.array([0.0, 0.0, 0.24]),
+      jnp.zeros(3),
+      jnp.zeros(3),
+      jnp.zeros(3),
+      jnp.ones(4, jnp.int32),
+      jnp.asarray(feet),
+      jnp.full(4, 0.45),
+      jnp.array([0.0, 0.0, 0.24]),
+      jnp.zeros(3),
+      jnp.zeros(3),
+      jnp.zeros(3),
+  )
+  forces = np.array(forces)
+  total_fz = -forces[:, 2].sum()   # returned negated (robot-applied)
+  weight = float(P.MPC_BODY_MASS) * 9.8
+  assert abs(total_fz - weight) / weight < 0.25, (total_fz, weight)
+  # roughly even split
+  assert np.all(-forces[:, 2] > 0.1 * weight / 4)
+
+
+def test_mpc_env_walks_forward():
+  """The full MPC pipeline: commanded 0.3 m/s forward on flat ground, the
+  robot should stay upright and make forward progress."""
+  from vision4leg_tpu.envs.mpc_env import A1MPCGymEnv, MpcEnvConfig
+  cfg = MpcEnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.3, 0.4),
+      time_step_s=0.001, num_action_repeat=5, policy_freq=20,
+      terrain_type="plane", target_vel=0.3, check_contact=False,
+      settle_steps=300, alive_reward=0.1)
+  env = A1MPCGymEnv(cfg)
+
+  @jax.jit
+  def run(key):
+    state, obs = env.reset(key)
+
+    def body(carry, _):
+      state = carry
+      act = jnp.array([0.3, 0.0])
+      state, obs, rew, done, _ = env.step(state, act)
+      return state, (state.robot.phys.pos, done, rew)
+
+    state, (pos, done, rew) = jax.lax.scan(body, state, None, length=20)
+    return obs, pos, done, rew
+
+  obs, pos, done, rew = run(jax.random.PRNGKey(0))
+  pos, done = np.array(pos), np.array(done)
+  assert obs.shape == (6,)
+  assert np.all(np.isfinite(pos))
+  # 20 policy steps @ 10 Hz = 2 s of walking at 0.3 m/s
+  assert not done.any(), f"fell at step {done.argmax()}, z={pos[:, 2]}"
+  assert pos[-1, 0] > 0.15, f"no forward progress: {pos[-1]}"
+  assert np.all(pos[:, 2] > 0.15), f"body too low: {pos[:, 2].min()}"

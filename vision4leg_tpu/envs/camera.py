@@ -62,24 +62,34 @@ def _ray_plane_t(eye, dirs, height: jnp.ndarray):
 
 
 def _ray_boxes_t(eye, dirs, boxes):
-  """Min positive t over K yaw-oriented boxes. boxes: (K, 8)."""
+  """Min positive t over K yaw-oriented boxes. boxes: (K, 8).
+
+  Slab test carried out per axis on (N, K) arrays (never materializing a
+  trailing component axis): the largest live intermediate is N x K, which
+  keeps the vmapped (env-batched) version HBM-friendly on TPU.
+  """
   c, half, yaw, valid = (boxes[:, 0:3], boxes[:, 3:6], boxes[:, 6],
                          boxes[:, 7])
   cy, sy = jnp.cos(yaw), jnp.sin(yaw)
-  # transform eye/dirs into each box frame (yaw about z)
-  eo = eye[None] - c                                     # (K, 3)
-  eox = cy * eo[:, 0] + sy * eo[:, 1]
-  eoy = -sy * eo[:, 0] + cy * eo[:, 1]
-  el = jnp.stack([eox, eoy, eo[:, 2]], axis=-1)          # (K, 3)
-  dx = cy[None] * dirs[:, None, 0] + sy[None] * dirs[:, None, 1]
-  dy = -sy[None] * dirs[:, None, 0] + cy[None] * dirs[:, None, 1]
-  dl = jnp.stack([dx, dy, jnp.broadcast_to(dirs[:, None, 2], dx.shape)],
-                 axis=-1)                                # (N, K, 3)
-  inv = 1.0 / jnp.where(jnp.abs(dl) < 1e-9, 1e-9, dl)
-  t1 = (-half[None] - el[None]) * inv
-  t2 = (half[None] - el[None]) * inv
-  tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)           # (N, K)
-  tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+  # eye in each box frame (yaw about z): (K,)
+  eo = eye[None] - c
+  e0 = cy * eo[:, 0] + sy * eo[:, 1]
+  e1 = -sy * eo[:, 0] + cy * eo[:, 1]
+  e2 = eo[:, 2]
+  # ray directions in each box frame: (N, K)
+  d0 = cy[None] * dirs[:, 0:1] + sy[None] * dirs[:, 1:2]
+  d1 = -sy[None] * dirs[:, 0:1] + cy[None] * dirs[:, 1:2]
+  d2 = jnp.broadcast_to(dirs[:, 2:3], d0.shape)
+
+  tmin = jnp.full(d0.shape, -jnp.inf)
+  tmax = jnp.full(d0.shape, jnp.inf)
+  for e, d, h in ((e0, d0, half[:, 0]), (e1, d1, half[:, 1]),
+                  (e2, d2, half[:, 2])):
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t1 = (-h[None] - e[None]) * inv
+    t2 = (h[None] - e[None]) * inv
+    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
   hit = (tmax >= jnp.maximum(tmin, 0.0)) & (valid[None] > 0.5)
   t = jnp.where(hit, jnp.maximum(tmin, 1e-4), jnp.inf)
   return jnp.min(t, axis=-1)                             # (N,)

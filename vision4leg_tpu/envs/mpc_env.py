@@ -1,0 +1,271 @@
+"""A1MoveGroundMPC: RL environment whose action is a high-level velocity
+command executed by the on-device convex-MPC locomotion controller.
+
+Reference: vision4leg/envs/locomotion_gym_mpc_env_with_rich_information.py
+  * action = (lin_speed, ang_speed), lin clipped to >= -0.05 (:480-484)
+  * each env step runs `policy_freq` controller ticks of
+    {gait/estimator update -> swing PD + stance MPC torques ->
+     robot.Step(action_repeat substeps)} (:486-489)
+  * observation = sorted {com_vel (world), imu rpy} + raw_img frames
+    (:574-588), or image-only when vision_only
+  * task = MoveForward/Goal with num_action_repeat * policy_freq scaling
+    (env_builder.py:420-455)
+
+Everything — including the condensed-QP MPC solve (mpc/convex_mpc.py) —
+is jitted and vmapped over parallel environments: batched model-predictive
+control on the TPU, vs. the reference's one C++ QP per env process.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from vision4leg_tpu.envs import camera as cam
+from vision4leg_tpu.envs import tasks, terrain as terr
+from vision4leg_tpu.envs.env import EnvConfig, EnvState, A1GymEnv
+from vision4leg_tpu.mpc import controllers as ctrl
+from vision4leg_tpu.mpc import leg_kinematics as lk
+from vision4leg_tpu.mpc.convex_mpc import MpcConfig
+from vision4leg_tpu.physics import engine, maths
+from vision4leg_tpu.robots import a1, a1_params as P
+
+MPC_WEIGHTS = (5, 5, 0.2, 0, 0, 10, 0., 0., 1., 1., 1., 0., 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcEnvConfig(EnvConfig):
+  policy_freq: int = 10
+  vision_only: bool = False
+
+  @property
+  def action_dim(self) -> int:
+    return 2
+
+  @property
+  def proprio_dim(self) -> int:
+    return 0 if self.vision_only else 6  # com_vel(3) + rpy(3)
+
+
+@struct.dataclass
+class MpcEnvState:
+  robot: a1.RobotState
+  dyn: a1.DynamicsParams
+  terrain: terr.TerrainState
+  task: tasks.TaskState
+  controller: ctrl.ControllerState
+  current_time: jnp.ndarray      # () controller clock (s)
+  last_action: jnp.ndarray       # (2,)
+  last_base_pos: jnp.ndarray
+  frames: jnp.ndarray
+  frame_idx: jnp.ndarray
+  interp_delay: jnp.ndarray
+  step_counter: jnp.ndarray
+  key: jax.Array
+
+
+class A1MPCGymEnv:
+  """Functional MPC env; reuses A1GymEnv's terrain/camera plumbing."""
+
+  def __init__(self, cfg: MpcEnvConfig):
+    from vision4leg_tpu.robots import a1_model
+    self.cfg = cfg
+    self.model = a1_model.build(dt=cfg.time_step_s / cfg.substeps)
+    self._flat = cfg.terrain_type in terr.FLAT_TERRAINS
+    self._gen_terrain = terr.TERRAIN_GENERATORS[cfg.terrain_type]
+    init = np.array(terr.INIT_POSITION[cfg.terrain_type], np.float32)
+    self._init_pos = jnp.asarray(init)
+    clip = np.asarray(cfg.clip_num if cfg.clip_num is not None
+                      else (0.3, 0.4), np.float32)
+    self.action_low = jnp.asarray(-clip)
+    self.action_high = jnp.asarray(clip)
+    self.mpc_cfg = MpcConfig(
+        mass=float(P.MPC_BODY_MASS),
+        inertia=tuple(float(x) for x in P.MPC_BODY_INERTIA),
+        qp_weights=MPC_WEIGHTS,
+        horizon=10, timestep=0.025, alpha=1e-5, admm_iters=40)
+    self.gait_cfg = ctrl.GaitConfig()
+
+  @property
+  def obs_dim(self) -> int:
+    return self.cfg.proprio_dim + self.cfg.image_dim
+
+  def _contact_fn(self, terrain, dyn):
+    return A1GymEnv._contact_fn(self, terrain, dyn)
+
+  # ------------------------------------------------------------------
+  def reset(self, key: jax.Array) -> Tuple[MpcEnvState, jnp.ndarray]:
+    cfg = self.cfg
+    k_ter, k_pos, k_frame, k_interp, k_state = jax.random.split(key, 5)
+    terrain = self._gen_terrain(k_ter)
+    dyn = a1.default_dynamics(self.model)
+
+    pos = self._init_pos
+    if cfg.random_init_range > 0:
+      jitter = jax.random.uniform(k_pos, (2,), minval=-cfg.random_init_range,
+                                  maxval=cfg.random_init_range)
+      pos = pos.at[:2].add(jitter)
+
+    phys = engine.zero_state(self.model).replace(
+        pos=pos, joint_q=jnp.asarray(P.INIT_MOTOR_ANGLES, jnp.float32))
+    rs = a1.init_robot_state(self.model, phys)
+    contact_fn = self._contact_fn(terrain, dyn)
+    model_d = a1.apply_dynamics(self.model, dyn)
+    cmd = jnp.asarray(P.INIT_MOTOR_ANGLES, jnp.float32)
+
+    def settle(rs, _):
+      rs, _ = a1.substep(model_d, rs, cmd, dyn, contact_fn)
+      return rs, None
+
+    rs, _ = jax.lax.scan(settle, rs, None,
+                         length=cfg.settle_steps * cfg.substeps)
+    rs = a1.init_robot_state(self.model, rs.phys)
+
+    feet = lk.foot_positions_base_frame(rs.phys.joint_q)
+    controller = ctrl.init_controller_state(feet, rs.phys.joint_q)
+
+    frame_idx = jnp.arange(4, dtype=jnp.int32) * cfg.frame_extract
+    state = MpcEnvState(
+        robot=rs, dyn=dyn, terrain=terrain,
+        task=tasks.init_task_state(rs.phys.pos, terr.NUM_SUBGOALS),
+        controller=controller,
+        current_time=jnp.zeros(()),
+        last_action=jnp.zeros(2),
+        last_base_pos=rs.phys.pos,
+        frames=(jnp.zeros((cfg.num_stored_frames, 64, 64))
+                if cfg.get_image else jnp.zeros((1, 1, 1))),
+        frame_idx=frame_idx,
+        interp_delay=jnp.zeros((), jnp.int32),
+        step_counter=jnp.zeros((), jnp.int32),
+        key=k_state,
+    )
+    if cfg.get_image:
+      state = A1GymEnv._capture_frame(self, state, reset=True)
+    return state, self._observation(state)
+
+  def _capture_frame(self, state, reset):
+    return A1GymEnv._capture_frame(self, state, reset)
+
+  def _image_obs(self, state):
+    return A1GymEnv._image_obs(self, state)
+
+  def _observation(self, state: MpcEnvState) -> jnp.ndarray:
+    cfg = self.cfg
+    parts = []
+    if not cfg.vision_only:
+      # sorted keys: "com_vel" < "imu" (:581-588); com_vel is the estimator's
+      # world-frame value; imu is rpy
+      com_vel_body = ctrl.com_velocity_body(state.controller)
+      rpy = maths.quat_to_rpy(state.robot.phys.quat)
+      com_vel_world = maths.quat_rotate(state.robot.phys.quat, com_vel_body)
+      parts.append(com_vel_world)
+      parts.append(rpy)
+    if cfg.get_image:
+      parts.append(self._image_obs(state))
+    return jnp.concatenate(parts).astype(jnp.float32)
+
+  # ------------------------------------------------------------------
+  def _controller_tick(self, state: MpcEnvState, lin_speed, ang_speed,
+                       contact_fn):
+    """One controller update + robot.Step(action_repeat substeps)."""
+    cfg = self.cfg
+    rs = state.robot
+    cs = state.controller
+
+    # foot contacts from the physics (GetFootContacts)
+    kin = engine.fwd_kinematics(self.model, rs.phys)
+    cpos, cvel, _ = engine.contact_points_world(self.model, rs.phys, kin)
+    _, pen = contact_fn(cpos, cvel, self.model.cp_radius)
+    foot_contacts = (jnp.max(pen[:4], axis=-1) > 0.0)
+
+    cs = ctrl.gait_update(self.gait_cfg, cs, state.current_time,
+                          foot_contacts)
+    # estimator: base velocity in body frame
+    vel_body = maths.quat_rotate_inv(rs.phys.quat, rs.phys.lin)
+    cs = ctrl.estimator_update(cs, vel_body)
+
+    rpy = maths.quat_to_rpy(rs.phys.quat)
+    rpy_rate = maths.quat_rotate_inv(rs.phys.quat, rs.phys.ang)
+    feet = lk.foot_positions_base_frame(rs.phys.joint_q)
+
+    desired_speed = jnp.concatenate([lin_speed[:2], jnp.zeros(1)])
+    cs, swing_q = ctrl.swing_action(cs, self.gait_cfg, rpy_rate[2],
+                                    desired_speed, ang_speed, feet)
+    stance_tau, contact_state = ctrl.stance_action(
+        self.mpc_cfg, cs, rpy, rpy_rate, feet, rs.phys.joint_q,
+        desired_speed, ang_speed)
+
+    # hybrid command: swing joints PD to swing_q, stance joints feedforward
+    stance_mask = jnp.repeat(contact_state.astype(jnp.float32), 3)
+
+    def substep_body(rs, _):
+      pd_tau = a1.motor_torques(rs.phys.joint_q, rs.phys.joint_qd, swing_q,
+                                state.dyn)
+      tau = (1.0 - stance_mask) * pd_tau + stance_mask * stance_tau
+      phys, pen2, _ = engine.step(
+          a1.apply_dynamics(self.model, state.dyn), rs.phys, tau, contact_fn)
+      hist = jnp.concatenate(
+          [a1._true_record(phys)[None], rs.obs_hist[:-1]], axis=0)
+      return rs.replace(phys=phys, obs_hist=hist, observed_torques=tau,
+                        step_counter=rs.step_counter + 1), None
+
+    rs, _ = jax.lax.scan(substep_body, rs, None,
+                         length=cfg.num_action_repeat * cfg.substeps)
+    new_time = state.current_time + cfg.num_action_repeat * cfg.time_step_s
+    return state.replace(robot=rs, controller=cs, current_time=new_time)
+
+  def step(self, state: MpcEnvState, action: jnp.ndarray):
+    cfg = self.cfg
+    action = jnp.clip(action, self.action_low, self.action_high)
+    key, k_frame = jax.random.split(state.key)
+    state = state.replace(key=key, last_action=action,
+                          last_base_pos=state.robot.phys.pos)
+
+    lin = jnp.concatenate([action[0:1], jnp.zeros(2)])
+    lin = jnp.maximum(lin, -0.05)          # :483 clip
+    ang = action[1]
+
+    contact_fn = self._contact_fn(state.terrain, state.dyn)
+
+    def tick(state, _):
+      return self._controller_tick(state, lin, ang, contact_fn), None
+
+    state, _ = jax.lax.scan(tick, state, None, length=cfg.policy_freq)
+
+    task_state = tasks.update(state.task, state.robot.phys.pos)
+    # non-foot contact check at the end
+    kin = engine.fwd_kinematics(self.model, state.robot.phys)
+    cpos, cvel, _ = engine.contact_points_world(self.model, state.robot.phys,
+                                                kin)
+    _, pen = contact_fn(cpos, cvel, self.model.cp_radius)
+    nonfoot = (jnp.any((pen[..., 0] > 0) & (self.model.cp_is_foot < 0.5))
+               | jnp.any(pen[..., 1] > 0))
+
+    task_cfg = tasks.TaskConfig(
+        goal=cfg.goal, z_constrain=cfg.z_constrain,
+        other_direction_penalty=cfg.other_direction_penalty,
+        z_penalty=cfg.z_penalty, time_step_s=cfg.time_step_s,
+        num_action_repeat=cfg.num_action_repeat * cfg.policy_freq,
+        alive_reward=cfg.alive_reward, fall_reward=cfg.fall_reward,
+        target_vel=cfg.target_vel, check_contact=cfg.check_contact,
+        subgoal_reward=cfg.subgoal_reward, goal_coeff=cfg.goal_coeff)
+    is_done = tasks.done(task_cfg, task_state, state.robot.phys.pos,
+                         state.robot.phys.quat, nonfoot)
+    quat_xyzw = maths.wxyz_to_xyzw(state.robot.phys.quat)
+    rew, trackers = tasks.reward(
+        task_cfg, task_state, quat_xyzw, state.robot.observed_torques,
+        is_done, state.terrain.subgoals, state.terrain.goal_pos)
+    state = state.replace(
+        task=task_state.replace(subgoal_trackers=trackers),
+        step_counter=state.step_counter + 1)
+
+    if cfg.get_image:
+      do_capture = (state.step_counter % cfg.get_image_interval) == 0
+      captured = self._capture_frame(state, reset=False)
+      state = jax.tree.map(lambda n, o: jnp.where(do_capture, n, o),
+                           captured, state)
+    return state, self._observation(state), rew, is_done, {}

@@ -1,0 +1,247 @@
+"""Convex MPC for quadruped stance control — JAX, batched, jittable.
+
+Reference: mpc_controller/mpc_osqp.cc (MIT-style convex MPC):
+  * 13-dim state [rpy(3), pos(3), omega(3), vel(3), -g] with rpy-rate
+    kinematics A(psi) (CalculateAMat :303-324) and contact-force input
+    matrix B from world-frame foot positions (CalculateBMat :325-338),
+  * zero-order-hold discretization by matrix exponential of [[A,B],[0,0]]dt
+    (CalculateExponentials :339-352),
+  * condensed horizon-H QP over contact forces:
+      min  (A_qp x0 + B_qp U - X_ref)^T L (A_qp x0 + B_qp U - X_ref)
+           + U^T alpha U
+    with 5 friction-pyramid rows per leg per step
+    (UpdateConstraintsMatrix :453-463, CalculateConstraintBounds :465-494),
+  * fz bounds scaled by contact state; fz_max = mass * g * 10 (kMaxScale).
+
+TPU-native solver: a fixed-iteration dense OSQP-style ADMM (the reference
+links the OSQP C library; this is the same splitting with a precomputed
+Cholesky of P + sigma I + rho A^T A).  Everything is shape-static, so the
+whole `compute_contact_forces` jits and vmaps over environments — batched
+model-predictive control on device, which the reference cannot do at all.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STATE_DIM = 13
+CONSTRAINT_DIM = 5
+GRAVITY = 9.8
+KMAX_SCALE = 10.0
+
+
+class MpcConfig(NamedTuple):
+  mass: float
+  inertia: tuple           # 9 values, row-major 3x3 (body frame)
+  num_legs: int = 4
+  horizon: int = 10
+  timestep: float = 0.025
+  qp_weights: tuple = ()   # 13 values
+  alpha: float = 1e-5
+  admm_iters: int = 50
+  rho: float = 0.1
+  sigma: float = 1e-6
+
+
+def _a_matrix(rpy):
+  cy, sy = jnp.cos(rpy[2]), jnp.sin(rpy[2])
+  cp, tp = jnp.cos(rpy[1]), jnp.tan(rpy[1])
+  R = jnp.array([[cy / cp, sy / cp, 0.0],
+                 [-sy, cy, 0.0],
+                 [cy * tp, sy * tp, 1.0]])
+  A = jnp.zeros((STATE_DIM, STATE_DIM))
+  A = A.at[0:3, 6:9].set(R)
+  A = A.at[3, 9].set(1.0).at[4, 10].set(1.0).at[5, 11].set(1.0)
+  A = A.at[11, 12].set(1.0)
+  return A
+
+
+def _b_matrix(inv_mass, inv_inertia_world, foot_positions_world):
+  """B: (13, 3*num_legs)."""
+  n = foot_positions_world.shape[0]
+
+  def skew(v):
+    return jnp.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+  B = jnp.zeros((STATE_DIM, 3 * n))
+  for i in range(n):
+    B = B.at[6:9, 3 * i: 3 * i + 3].set(
+        inv_inertia_world @ skew(foot_positions_world[i]))
+    B = B.at[9, 3 * i].set(inv_mass)
+    B = B.at[10, 3 * i + 1].set(inv_mass)
+    B = B.at[11, 3 * i + 2].set(inv_mass)
+  return B
+
+
+def _rpy_to_rot(rpy):
+  """Extrinsic X-Y-Z rotation (ConvertRpyToRot)."""
+  cr, sr = jnp.cos(rpy[0]), jnp.sin(rpy[0])
+  cp, sp = jnp.cos(rpy[1]), jnp.sin(rpy[1])
+  cy, sy = jnp.cos(rpy[2]), jnp.sin(rpy[2])
+  Rx = jnp.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+  Ry = jnp.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+  Rz = jnp.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+  return Rz @ Ry @ Rx
+
+
+def _friction_cone_rows(mu):
+  """(5, 3) friction pyramid block (UpdateConstraintsMatrix :453-463)."""
+  return jnp.array([
+      [-1.0, 0.0, mu],
+      [1.0, 0.0, mu],
+      [0.0, -1.0, mu],
+      [0.0, 1.0, mu],
+      [0.0, 0.0, 1.0],
+  ])
+
+
+def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float):
+  """OSQP-style ADMM for min 1/2 x^T P x + q^T x, s.t. lb <= A x <= ub.
+
+  rho is scaled by the problem magnitude (poor man's Ruiz equilibration:
+  OSQP's default rho assumes an equilibrated problem)."""
+  n = P.shape[0]
+  m = A.shape[0]
+  rho = rho * jnp.maximum(jnp.trace(P) / n, 1e-9)
+  sigma = sigma * jnp.maximum(jnp.trace(P) / n, 1e-9)
+  K = P + sigma * jnp.eye(n) + rho * (A.T @ A)
+  chol = jax.scipy.linalg.cho_factor(K)
+
+  def body(carry, _):
+    x, z, y = carry
+    rhs = sigma * x - q + A.T @ (rho * z - y)
+    x_new = jax.scipy.linalg.cho_solve(chol, rhs)
+    Ax = A @ x_new
+    z_new = jnp.clip(Ax + y / rho, lb, ub)
+    y_new = y + rho * (Ax - z_new)
+    return (x_new, z_new, y_new), None
+
+  x0 = jnp.zeros(n)
+  z0 = jnp.clip(jnp.zeros(m), lb, ub)
+  y0 = jnp.zeros(m)
+  (x, z, y), _ = jax.lax.scan(body, (x0, z0, y0), None, length=iters)
+  return x
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def compute_contact_forces(
+    cfg: MpcConfig,
+    com_position,            # (3,) or z-only usage: pass full, z used
+    com_velocity,            # (3,) world
+    com_roll_pitch_yaw,      # (3,)
+    com_angular_velocity,    # (3,) world
+    foot_contact_states,     # (num_legs,) 0/1
+    foot_positions_body,     # (num_legs, 3) base frame
+    foot_friction_coeffs,    # (num_legs,)
+    desired_com_position,    # (3,)
+    desired_com_velocity,    # (3,)
+    desired_com_rpy,         # (3,)
+    desired_com_ang_vel,     # (3,)
+):
+  """Returns contact forces (num_legs, 3), world frame (sign: force the
+  robot applies on the ground is -f; this returns the ground reaction
+  forces like the reference, consumed negated by the stance controller)."""
+  n = cfg.num_legs
+  H = cfg.horizon
+  dt = cfg.timestep
+  inertia = jnp.asarray(cfg.inertia).reshape(3, 3)
+  inv_inertia = jnp.linalg.inv(inertia)
+  qp_w = jnp.asarray(cfg.qp_weights)
+
+  rot = _rpy_to_rot(com_roll_pitch_yaw)
+  foot_world = (rot @ foot_positions_body.T).T              # (n, 3)
+
+  # body height from contacts when absolute z unknown (:646-651); the
+  # shape is static, so the branch is resolved at trace time
+  contacts = foot_contact_states.astype(jnp.float32)
+  if com_position.shape[0] == 3:
+    com_z = com_position[2]
+  else:
+    com_z = jnp.abs(jnp.sum(foot_world[:, 2] * contacts)
+                    / jnp.maximum(jnp.sum(contacts), 1.0))
+
+  x0 = jnp.concatenate([
+      com_roll_pitch_yaw,
+      jnp.array([0.0, 0.0, com_z]),
+      com_angular_velocity,
+      com_velocity,
+      jnp.array([-GRAVITY]),
+  ])
+
+  steps = jnp.arange(1, H + 1, dtype=jnp.float32)[:, None]
+  x_ref = jnp.zeros((H, STATE_DIM))
+  x_ref = x_ref.at[:, 0].set(desired_com_rpy[0])
+  x_ref = x_ref.at[:, 1].set(desired_com_rpy[1])
+  x_ref = x_ref.at[:, 2].set(
+      com_roll_pitch_yaw[2] + dt * steps[:, 0] * desired_com_ang_vel[2])
+  x_ref = x_ref.at[:, 3].set(dt * steps[:, 0] * desired_com_velocity[0])
+  x_ref = x_ref.at[:, 4].set(dt * steps[:, 0] * desired_com_velocity[1])
+  x_ref = x_ref.at[:, 5].set(desired_com_position[2])
+  x_ref = x_ref.at[:, 6:9].set(desired_com_ang_vel)
+  x_ref = x_ref.at[:, 9].set(desired_com_velocity[0])
+  x_ref = x_ref.at[:, 10].set(desired_com_velocity[1])
+  # vz reference = 0 ("prefer to stabilize body height"), x[12] = -g
+  x_ref = x_ref.at[:, 12].set(-GRAVITY)
+  x_ref = x_ref.reshape(-1)
+
+  A = _a_matrix(com_roll_pitch_yaw)
+  inv_inertia_world = rot @ inv_inertia @ rot.T
+  B = _b_matrix(1.0 / cfg.mass, inv_inertia_world, foot_world)
+
+  # ZOH discretization via expm([[A, B], [0, 0]] dt)
+  adim = 3 * n
+  AB = jnp.zeros((STATE_DIM + adim, STATE_DIM + adim))
+  AB = AB.at[:STATE_DIM, :STATE_DIM].set(A * dt)
+  AB = AB.at[:STATE_DIM, STATE_DIM:].set(B * dt)
+  ab_exp = jax.scipy.linalg.expm(AB)
+  A_exp = ab_exp[:STATE_DIM, :STATE_DIM]
+  B_exp = ab_exp[:STATE_DIM, STATE_DIM:]
+
+  # condensed prediction matrices
+  def a_power_scan(Ak, _):
+    Ak1 = A_exp @ Ak
+    return Ak1, Ak1
+
+  _, a_powers = jax.lax.scan(a_power_scan, jnp.eye(STATE_DIM), None,
+                             length=H)      # A^1..A^H, (H, 13, 13)
+  A_qp = a_powers.reshape(H * STATE_DIM, STATE_DIM)
+
+  # anb_aux[i] = A^i B  (i = 0..H-1)
+  anb = jnp.concatenate(
+      [B_exp[None], jnp.einsum("hij,jk->hik", a_powers[:-1], B_exp)], axis=0)
+
+  # B_qp[i, j] = A^(i-j) B for j <= i
+  ii = jnp.arange(H)[:, None]
+  jj = jnp.arange(H)[None, :]
+  idx = jnp.clip(ii - jj, 0, H - 1)
+  blocks = anb[idx] * (jj <= ii)[..., None, None]   # (H, H, 13, adim)
+  B_qp = blocks.transpose(0, 2, 1, 3).reshape(H * STATE_DIM, H * adim)
+
+  L_diag = jnp.tile(qp_w, H)                        # (H*13,)
+  P = 2.0 * (B_qp.T * L_diag[None, :]) @ B_qp
+  P = P + cfg.alpha * jnp.eye(H * adim)
+  state_diff = A_qp @ x0 - x_ref
+  q = 2.0 * B_qp.T @ (L_diag * state_diff)
+
+  # constraints: block-diag friction pyramids (H*n blocks of (5, 3))
+  cone = jax.vmap(_friction_cone_rows)(
+      jnp.tile(foot_friction_coeffs, H))            # (H*n, 5, 3)
+  C = jax.scipy.linalg.block_diag(*[cone[i] for i in range(H * n)])
+  fz_max = cfg.mass * GRAVITY * KMAX_SCALE
+  fz_min = 0.0
+  cs = jnp.tile(contacts, H)                        # (H*n,)
+  mu0 = foot_friction_coeffs[0]
+  ub_blk = jnp.stack([(mu0 + 1) * fz_max * cs] * 4 + [fz_max * cs], axis=-1)
+  lb_blk = jnp.concatenate(
+      [jnp.zeros((H * n, 4)), (fz_min * cs)[:, None]], axis=-1)
+  lb = lb_blk.reshape(-1)
+  ub = ub_blk.reshape(-1)
+
+  u = _admm_box_qp(P, q, C, lb, ub, cfg.admm_iters, cfg.rho, cfg.sigma)
+  # first-step forces; reference returns -qp_solution (ground reaction
+  # convention flip happens at the caller, torque_stance_leg_controller)
+  return -u[: 3 * n].reshape(n, 3)
