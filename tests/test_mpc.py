@@ -134,3 +134,38 @@ def test_mpc_env_walks_forward():
   assert not done.any(), f"fell at step {done.argmax()}, z={pos[:, 2]}"
   assert pos[-1, 0] > 0.15, f"no forward progress: {pos[-1]}"
   assert np.all(pos[:, 2] > 0.15), f"body too low: {pos[:, 2].min()}"
+
+
+def test_native_mpc_matches_jax():
+  """The C++ ConvexMpc core and the JAX batched MPC solve the same QP;
+  their first-step forces should agree."""
+  import sys
+  import os.path as osp
+  sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                              "vision4leg_tpu/mpc/native"))
+  import mpc_osqp
+  from vision4leg_tpu.mpc.convex_mpc import MpcConfig, compute_contact_forces
+
+  weights = (5, 5, 0.2, 0, 0, 10, 0., 0., 1., 1., 1., 0., 0)
+  native = mpc_osqp.ConvexMpc(float(P.MPC_BODY_MASS),
+                              list(P.MPC_BODY_INERTIA), 4, 10, 0.025,
+                              list(weights), 1e-5)
+  cfg = MpcConfig(mass=float(P.MPC_BODY_MASS),
+                  inertia=tuple(float(x) for x in P.MPC_BODY_INERTIA),
+                  qp_weights=weights, admm_iters=100)
+  feet = np.array([[0.17, -0.13, -0.24], [0.17, 0.13, -0.24],
+                   [-0.19, -0.13, -0.24], [-0.19, 0.13, -0.24]])
+  vel = np.array([0.1, 0.02, 0.0])
+  rpy = np.array([0.02, -0.03, 0.0])
+  f_native = np.array(native.compute_contact_forces(
+      [0.0, 0.0, 0.24], vel, rpy, np.zeros(3), np.ones(4, np.int32),
+      feet.flatten(), np.full(4, 0.45), [0., 0., 0.24],
+      np.array([0.3, 0., 0.]), np.zeros(3), np.zeros(3))[:12]).reshape(4, 3)
+  f_jax = np.array(compute_contact_forces(
+      cfg, jnp.array([0.0, 0.0, 0.24]), jnp.asarray(vel, jnp.float32),
+      jnp.asarray(rpy, jnp.float32), jnp.zeros(3), jnp.ones(4, jnp.int32),
+      jnp.asarray(feet, jnp.float32), jnp.full(4, 0.45),
+      jnp.array([0.0, 0.0, 0.24]), jnp.array([0.3, 0.0, 0.0]),
+      jnp.zeros(3), jnp.zeros(3)))
+  # both solvers approximate; agree to a few percent of body weight
+  np.testing.assert_allclose(f_native, f_jax, atol=3.0)

@@ -381,3 +381,132 @@ class DQNLearner:
     state = maybe_update_targets(cfg, state, ("qf",))
     return state, {"Training/qf_loss": qf_loss,
                    "Reward_Mean": rewards.mean()}
+
+
+class SACLearner:
+  """Original SAC with a state-value function (sac.py:10-180): V target
+  network, Q + V + policy updates, optional entropy tuning."""
+
+  def __init__(self, cfg: OffPolicyConfig, apply_pf: Callable,
+               apply_qf: Callable, apply_vf: Callable, action_dim: int,
+               twin: bool = False):
+    self.cfg = cfg
+    self.apply_pf = apply_pf
+    self.apply_qf = apply_qf   # (params, obs, act) -> (B, 1)
+    self.apply_vf = apply_vf   # (params, obs) -> (B, 1)
+    self.twin = twin           # TwinSAC (twin_sac.py): min over two Qs
+    self.target_entropy = (cfg.target_entropy if cfg.target_entropy
+                           is not None else -float(action_dim))
+    self.pf_tx = _adam(cfg.plr)
+    self.qf_tx = _adam(cfg.qlr)
+    self.vf_tx = _adam(cfg.qlr)
+    self.alpha_tx = _adam(cfg.plr)
+
+  def init_state(self, pf_params, qf_params, vf_params,
+                 qf2_params=None) -> OffPolicyState:
+    params = {"pf": pf_params, "qf": qf_params, "vf": vf_params}
+    opts = {"pf": self.pf_tx.init(pf_params),
+            "qf": self.qf_tx.init(qf_params),
+            "vf": self.vf_tx.init(vf_params)}
+    if self.twin:
+      params["qf2"] = qf2_params
+      opts["qf2"] = self.qf_tx.init(qf2_params)
+    log_alpha = jnp.zeros(())
+    return OffPolicyState(
+        params=params, target_params={"vf": vf_params}, opt_states=opts,
+        extras={"log_alpha": log_alpha,
+                "alpha_opt": self.alpha_tx.init(log_alpha)},
+        update_count=jnp.zeros((), jnp.int32))
+
+  def _q_min(self, params, obs, act):
+    q = self.apply_qf(params["qf"], obs, act)
+    if self.twin:
+      q = jnp.minimum(q, self.apply_qf(params["qf2"], obs, act))
+    return q
+
+  def update(self, state: OffPolicyState, batch, key):
+    cfg = self.cfg
+    obs, acts = batch["obs"], batch["acts"]
+    next_obs = batch["next_obs"]
+    rewards, terminals = batch["rewards"], batch["terminals"]
+    p = state.params
+
+    mean, std, logstd = self.apply_pf(p["pf"], obs)
+    new_actions, _, log_probs = tanh_normal.sample_with_log_prob(
+        key, mean, std)
+
+    if cfg.automatic_entropy_tuning:
+      def alpha_loss_fn(log_alpha):
+        return -(log_alpha * jax.lax.stop_gradient(
+            log_probs + self.target_entropy)).mean()
+      a_loss, a_grad = jax.value_and_grad(alpha_loss_fn)(
+          state.extras["log_alpha"])
+      a_up, a_opt = self.alpha_tx.update(a_grad, state.extras["alpha_opt"])
+      log_alpha = optax.apply_updates(state.extras["log_alpha"], a_up)
+      alpha = jnp.exp(log_alpha)
+      extras = {"log_alpha": log_alpha, "alpha_opt": a_opt}
+    else:
+      alpha = 1.0
+      extras = state.extras
+
+    # QF loss: target from the V target network (sac.py:121-125)
+    target_v = self.apply_vf(state.target_params["vf"], next_obs)
+    q_target = jax.lax.stop_gradient(
+        rewards + (1.0 - terminals) * cfg.discount * target_v)
+
+    def qf_loss_fn(qf_params):
+      return jnp.mean((self.apply_qf(qf_params, obs, acts) - q_target) ** 2)
+
+    qf_loss, gq = jax.value_and_grad(qf_loss_fn)(p["qf"])
+    grads = {"qf": gq}
+    if self.twin:
+      qf2_loss, gq2 = jax.value_and_grad(qf_loss_fn)(p["qf2"])
+      grads["qf2"] = gq2
+
+    # VF loss: V <- Q(s, a_new) - alpha logp (sac.py:127-133)
+    q_new = self._q_min(p, obs, new_actions)
+    v_target = jax.lax.stop_gradient(q_new - alpha * log_probs)
+
+    def vf_loss_fn(vf_params):
+      return jnp.mean((self.apply_vf(vf_params, obs) - v_target) ** 2)
+
+    vf_loss, gv = jax.value_and_grad(vf_loss_fn)(p["vf"])
+    grads["vf"] = gv
+
+    # policy loss (reparameterized, sac.py:135-150)
+    def pf_loss_fn(pf_params):
+      mean, std, logstd = self.apply_pf(pf_params, obs)
+      a, _, logp = tanh_normal.sample_with_log_prob(key, mean, std)
+      q = self._q_min(p, obs, a)
+      loss = (jax.lax.stop_gradient(alpha) * logp - q).mean()
+      loss += cfg.policy_std_reg_weight * (logstd ** 2).mean()
+      loss += cfg.policy_mean_reg_weight * (mean ** 2).mean()
+      return loss
+
+    pf_loss, gp = jax.value_and_grad(pf_loss_fn)(p["pf"])
+    grads["pf"] = gp
+
+    params = dict(p)
+    opts = dict(state.opt_states)
+    for name, tx in (("pf", self.pf_tx), ("qf", self.qf_tx),
+                     ("vf", self.vf_tx)):
+      up, opts[name] = tx.update(grads[name], opts[name], params[name])
+      params[name] = optax.apply_updates(params[name], up)
+    if self.twin:
+      up, opts["qf2"] = self.qf_tx.update(grads["qf2"], opts["qf2"],
+                                          params["qf2"])
+      params["qf2"] = optax.apply_updates(params["qf2"], up)
+
+    state = state.replace(params=params, opt_states=opts, extras=extras,
+                          update_count=state.update_count + 1)
+    state = maybe_update_targets(cfg, state, ("vf",))
+    metrics = {
+        "Training/policy_loss": pf_loss,
+        "Training/qf_loss": qf_loss,
+        "Training/vf_loss": vf_loss,
+        "log_probs/mean": log_probs.mean(),
+        "Reward_Mean": rewards.mean(),
+    }
+    if cfg.automatic_entropy_tuning:
+      metrics["Alpha"] = alpha
+    return state, metrics

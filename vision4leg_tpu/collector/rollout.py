@@ -134,17 +134,25 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     fin_sum = cs.finished_returns_sum + jnp.sum(ep_return * terminal)
     fin_cnt = cs.finished_count + jnp.sum(terminal)
 
-    # partial reset of finished envs
+    # partial reset of finished envs; the whole reset path (terrain gen,
+    # template placement, first camera frame) only runs on steps where at
+    # least one env terminated (most steps: none, with 999-step episodes)
     key, k_reset = jax.random.split(key)
-    reset_states, reset_obs = jax.vmap(env.reset)(
-        jax.random.split(k_reset, done.shape[0]))
 
     def sel(a, b):
       t = terminal.reshape(terminal.shape + (1,) * (a.ndim - 1))
       return jnp.where(t, a, b)
 
-    env_states = jax.tree.map(sel, reset_states, env_states)
-    next_raw = sel(reset_obs, next_raw)
+    def do_resets(operand):
+      env_states, next_raw = operand
+      reset_states, reset_obs = jax.vmap(env.reset)(
+          jax.random.split(k_reset, done.shape[0]))
+      return (jax.tree.map(sel, reset_states, env_states),
+              sel(reset_obs, next_raw))
+
+    env_states, next_raw = jax.lax.cond(
+        jnp.any(terminal), do_resets, lambda op: op,
+        (env_states, next_raw))
     ep_steps = jnp.where(terminal, 0, ep_steps)
     ep_return = jnp.where(terminal, 0.0, ep_return)
 

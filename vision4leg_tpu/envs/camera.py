@@ -141,6 +141,11 @@ def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
     t = _ray_heightfield_t(eye, dirs, height_fn)
   if terrain.boxes.shape[0] > 0:
     t = jnp.minimum(t, _ray_boxes_t(eye, dirs, terrain.boxes))
+  if (terrain.obstacle_spheres is not None
+      and terrain.obstacle_spheres.shape[0] > 0):
+    q = terrain.obstacle_spheres
+    t = jnp.minimum(
+        t, _ray_spheres_t(eye, dirs, q[:, 0:3], q[:, 3], q[:, 4]))
   if show_subgoals:
     centers = jnp.concatenate(
         [terrain.subgoals,

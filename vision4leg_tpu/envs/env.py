@@ -34,6 +34,7 @@ from vision4leg_tpu.envs import camera as cam
 from vision4leg_tpu.envs import dynamics_rando, tasks, terrain as terr
 from vision4leg_tpu.physics import contact, engine, maths
 from vision4leg_tpu.robots import a1, a1_model, a1_params as P
+from vision4leg_tpu.robots import action_filter
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +130,7 @@ class EnvState:
   last_action_hist: jnp.ndarray  # (3, 12)
   last_action: jnp.ndarray       # (12,)
   last_base_pos: jnp.ndarray     # (3,) for displacement sensor
+  filter_state: action_filter.FilterState  # Butterworth action filter
   frames: jnp.ndarray            # (num_stored, 64, 64) or (1, 1, 1)
   frame_idx: jnp.ndarray         # (4,) int32
   interp_delay: jnp.ndarray      # () int32
@@ -151,6 +153,10 @@ class A1GymEnv:
     self._init_pos = jnp.asarray(init)
     # action bounds: ActionRestrain around INIT_MOTOR_ANGLES
     # (env_builder.py:40-56), else raw joint limits
+    if cfg.enable_action_filter:
+      # sampling at the control rate (minitaur.py:1445-1448)
+      self._filter_coeffs = action_filter.make_coeffs(
+          1.0 / (cfg.time_step_s * cfg.num_action_repeat))
     if cfg.clip_num is not None:
       clip = np.asarray(cfg.clip_num, np.float32)
       self._act_lb12 = jnp.asarray(P.INIT_MOTOR_ANGLES - clip)
@@ -172,13 +178,32 @@ class A1GymEnv:
   def obs_dim(self) -> int:
     return self.cfg.obs_dim
 
+  # contacts are only possible against nearby obstacles; pruning to the
+  # NEAR_BOXES closest (by axis-aligned surface distance, so the long
+  # fence walls are handled correctly) cuts the per-substep contact cost
+  # ~6x on the 52-box corridor terrains
+  NEAR_BOXES = 8
+
+  def _pruned_boxes(self, boxes: jnp.ndarray,
+                    base_xy: jnp.ndarray) -> jnp.ndarray:
+    if boxes.shape[0] <= self.NEAR_BOXES:
+      return boxes
+    dx = jnp.maximum(jnp.abs(base_xy[0] - boxes[:, 0]) - boxes[:, 3], 0.0)
+    dy = jnp.maximum(jnp.abs(base_xy[1] - boxes[:, 1]) - boxes[:, 4], 0.0)
+    d = dx * dx + dy * dy + jnp.where(boxes[:, 7] > 0.5, 0.0, 1e9)
+    _, idx = jax.lax.top_k(-d, self.NEAR_BOXES)
+    return boxes[idx]
+
   # ------------------------------------------------------------------
-  def _contact_fn(self, state_terrain, dyn):
+  def _contact_fn(self, state_terrain, dyn, base_xy=None):
     h_fn, n_fn = terr.height_fns(state_terrain, self._flat)
+    boxes = state_terrain.boxes
+    if base_xy is not None:
+      boxes = self._pruned_boxes(boxes, base_xy)
     # PyBullet multiplies the two bodies' lateral frictions: ground
     # fric_coeff[0] (env :400-405) x randomized foot friction [0.5, 1.25]
     return contact.make_terrain_contact_fn(
-        h_fn, n_fn, boxes=state_terrain.boxes,
+        h_fn, n_fn, boxes=boxes, spheres=state_terrain.obstacle_spheres,
         friction=dyn.lateral_friction * self.cfg.fric_coeff[0],
         box_friction=dyn.lateral_friction)
 
@@ -188,6 +213,37 @@ class A1GymEnv:
       right, left = jnp.split(action, 2)
       action = jnp.concatenate([right, left, left, right])
     return jnp.clip(action, self._act_lb12, self._act_ub12)
+
+  def settled_template(self) -> a1.RobotState:
+    """Settle the robot to contact equilibrium on flat ground ONCE (the
+    reference's 2 s standing reset, a1.py:232-247).  Cached and reused by
+    in-rollout resets: re-settling inside the compiled rollout would cost
+    `settle_steps` substeps per reset per env — 25x the per-step physics."""
+    if getattr(self, "_template", None) is not None:
+      return self._template
+    dyn = a1.default_dynamics(self.model)
+    flat = terr.gen_plane(jax.random.PRNGKey(0))
+    h_fn, n_fn = terr.flat_height_fn(flat)
+    contact_fn = contact.make_terrain_contact_fn(
+        h_fn, n_fn, boxes=flat.boxes,
+        friction=dyn.lateral_friction * self.cfg.fric_coeff[0])
+    model_d = a1.apply_dynamics(self.model, dyn)
+    cmd = jnp.asarray(P.INIT_MOTOR_ANGLES, jnp.float32)
+    phys = engine.zero_state(self.model).replace(
+        pos=jnp.array([0.0, 0.0, 0.32]), joint_q=cmd)
+    rs = a1.init_robot_state(self.model, phys)
+
+    @jax.jit
+    def settle(rs):
+      def body(rs, _):
+        rs, _ = a1.substep(model_d, rs, cmd, dyn, contact_fn)
+        return rs, None
+      rs, _ = jax.lax.scan(
+          body, rs, None, length=self.cfg.settle_steps * self.cfg.substeps)
+      return a1.init_robot_state(self.model, rs.phys)
+
+    self._template = jax.tree.map(jax.lax.stop_gradient, settle(rs))
+    return self._template
 
   # ------------------------------------------------------------------
   def reset(self, key: jax.Array) -> Tuple[EnvState, jnp.ndarray]:
@@ -206,23 +262,15 @@ class A1GymEnv:
           maxval=cfg.random_init_range)
       pos = pos.at[:2].add(jitter)
 
-    phys = engine.zero_state(self.model).replace(
-        pos=pos, joint_q=jnp.asarray(P.INIT_MOTOR_ANGLES, jnp.float32))
+    # place the pre-settled standing pose at the (jittered) init position,
+    # adjusted for local terrain height
+    template = self.settled_template()
+    h_fn, _ = terr.height_fns(terrain, self._flat)
+    ground_z = h_fn(pos[None, :2])[0]
+    pos = jnp.array([pos[0], pos[1], template.phys.pos[2] + ground_z])
+    phys = template.phys.replace(pos=pos)
     rs = a1.init_robot_state(self.model, phys)
-
-    # settle to contact equilibrium (reference: reset_time=2 s standing
-    # reset, a1.py:232-247 / minitaur Reset)
-    contact_fn = self._contact_fn(terrain, dyn)
-    model_d = a1.apply_dynamics(self.model, dyn)
     cmd = jnp.asarray(P.INIT_MOTOR_ANGLES, jnp.float32)
-
-    def settle(rs, _):
-      rs, _ = a1.substep(model_d, rs, cmd, dyn, contact_fn)
-      return rs, None
-
-    rs, _ = jax.lax.scan(settle, rs, None,
-                         length=cfg.settle_steps * cfg.substeps)
-    rs = a1.init_robot_state(self.model, rs.phys)  # refill latency history
 
     # MMDR frame indices (reset, :318-336)
     if cfg.reset_frame_idx and cfg.frame_extract > 1:
@@ -252,6 +300,7 @@ class A1GymEnv:
         last_action_hist=jnp.zeros((3, 12)),
         last_action=cmd,
         last_base_pos=base_pos,
+        filter_state=action_filter.init_state(12, cmd),
         frames=(jnp.zeros((cfg.num_stored_frames, 64, 64))
                 if cfg.get_image else jnp.zeros((1, 1, 1))),
         frame_idx=frame_idx,
@@ -346,6 +395,10 @@ class A1GymEnv:
                                          jnp.ndarray, dict]:
     cfg = self.cfg
     act12 = self._expand_action(action)
+    if cfg.enable_action_filter:  # minitaur.Step:277-279 _FilterAction
+      fstate, act12 = action_filter.apply(self._filter_coeffs,
+                                          state.filter_state, act12)
+      state = state.replace(filter_state=fstate)
     key, k_move, k_frame = jax.random.split(state.key, 3)
     state = state.replace(key=key, last_action=act12,
                           last_base_pos=state.robot.phys.pos)
@@ -355,7 +408,8 @@ class A1GymEnv:
       terrain = terr.moving_blocks_step(
           terrain, state.step_counter, k_move, terr.NUM_SPARSE_BLOCKS)
 
-    contact_fn = self._contact_fn(terrain, state.dyn)
+    contact_fn = self._contact_fn(terrain, state.dyn,
+                                  base_xy=state.robot.phys.pos[:2])
     rs, _ = a1.robot_step(
         self.model, state.robot, act12, state.dyn, contact_fn,
         action_repeat=cfg.num_action_repeat * cfg.substeps,

@@ -94,8 +94,11 @@ class A1MPCGymEnv:
   def obs_dim(self) -> int:
     return self.cfg.proprio_dim + self.cfg.image_dim
 
-  def _contact_fn(self, terrain, dyn):
-    return A1GymEnv._contact_fn(self, terrain, dyn)
+  def _contact_fn(self, terrain, dyn, base_xy=None):
+    return A1GymEnv._contact_fn(self, terrain, dyn, base_xy)
+
+  _pruned_boxes = A1GymEnv._pruned_boxes
+  NEAR_BOXES = A1GymEnv.NEAR_BOXES
 
   # ------------------------------------------------------------------
   def reset(self, key: jax.Array) -> Tuple[MpcEnvState, jnp.ndarray]:
@@ -229,7 +232,8 @@ class A1MPCGymEnv:
     lin = jnp.maximum(lin, -0.05)          # :483 clip
     ang = action[1]
 
-    contact_fn = self._contact_fn(state.terrain, state.dyn)
+    contact_fn = self._contact_fn(state.terrain, state.dyn,
+                                  base_xy=state.robot.phys.pos[:2])
 
     def tick(state, _):
       return self._controller_tick(state, lin, ang, contact_fn), None

@@ -78,6 +78,8 @@ class TerrainState:
   box_dirs: jnp.ndarray      # (K,) int32 moving-direction indices
   subgoals: jnp.ndarray      # (S, 2) subgoal xy centers
   goal_pos: jnp.ndarray      # (3,) goal position (zeros if unused)
+  # collision spheres [x, y, z, r, valid] (random_sphere_with_subgoal)
+  obstacle_spheres: jnp.ndarray = None  # (Q, 5)
 
 
 def flat_height_fn(terrain: TerrainState):
@@ -130,7 +132,8 @@ def height_fns(terrain: TerrainState, flat: bool):
 # Generators (jittable, keyed)
 # ---------------------------------------------------------------------------
 
-def _empty(num_boxes: int, hf_n: int = 2) -> TerrainState:
+def _empty(num_boxes: int, hf_n: int = 2, num_spheres: int = 0
+           ) -> TerrainState:
   return TerrainState(
       height=jnp.zeros((hf_n, hf_n)),
       hf_cell=jnp.asarray(HEIGHTFIELD_CELL),
@@ -140,6 +143,7 @@ def _empty(num_boxes: int, hf_n: int = 2) -> TerrainState:
       box_dirs=jnp.zeros((num_boxes,), jnp.int32),
       subgoals=jnp.zeros((NUM_SUBGOALS, 2)),
       goal_pos=jnp.zeros(3),
+      obstacle_spheres=jnp.zeros((num_spheres, 5)),
   )
 
 
@@ -221,6 +225,7 @@ def gen_blocks_sparse(key: jax.Array, random_shape: bool = False,
                                   (n + 2,), 0, 20).at[n:].set(16),
       subgoals=subgoals,
       goal_pos=jnp.zeros(3),
+      obstacle_spheres=jnp.zeros((0, 5)),
   )
 
 
@@ -317,6 +322,162 @@ def gen_mount(key: jax.Array, goal: bool = True) -> TerrainState:
       goal_pos=jnp.asarray([2.5, 8.0, 2.7]) if goal else jnp.zeros(3))
 
 
+
+
+def gen_random_blocks(key: jax.Array) -> TerrainState:
+  """random_blocks: 20 small blocks near the start
+  (`_generate_convex_blocks` :469-520): centers U([0,-0.5],[5,0.5]),
+  blocks near the origin dropped, side U(0.1, 0.2)/(2*sqrt2),
+  height U(0.0375, 0.075)."""
+  k1, k2, k3 = jax.random.split(key, 3)
+  n = 20
+  centers = jax.random.uniform(k1, (n, 2), minval=jnp.array([0.0, -0.5]),
+                               maxval=jnp.array([5.0, 0.5]))
+  half_len = jax.random.uniform(k2, (n,), minval=0.1,
+                                maxval=0.2) / (2 * math.sqrt(2))
+  half_h = jax.random.uniform(k3, (n,), minval=0.0375, maxval=0.075) / 2
+  near_origin = (jnp.abs(centers[:, 0]) < 0.3) & (jnp.abs(centers[:, 1])
+                                                  < 0.3)
+  boxes = jnp.concatenate([
+      centers, half_h[:, None],
+      half_len[:, None], half_len[:, None], half_h[:, None],
+      jnp.zeros((n, 1)), (~near_origin)[:, None].astype(jnp.float32),
+  ], axis=-1)
+  ts = _empty(num_boxes=0)
+  return ts.replace(boxes=boxes, box_dirs=jnp.full((n,), 16, jnp.int32))
+
+
+def gen_multi_stairs(key: jax.Array) -> TerrainState:
+  """multi_stairs (`_generate_multi_stairs` :703-760): 1-5 staircases of 7
+  slabs each, with per-staircase x noise (+-4 m) and step-height noise
+  (0.05 +- 0.01); goal at x=20."""
+  k1, k2, k3 = jax.random.split(key, 3)
+  max_stairs = 5
+  num = jax.random.randint(k1, (), 1, 6)
+  noise = jax.random.uniform(k2, (max_stairs,), minval=-4.0, maxval=4.0)
+  noise = noise.at[0].set(0.0)
+  h_noise = jax.random.uniform(k3, (max_stairs,), minval=-0.01,
+                               maxval=0.01)
+  lvl = jnp.array([1, 2, 3, 4, 3, 2, 1], jnp.float32)
+  offs = 0.44 * jnp.arange(7, dtype=jnp.float32)
+  stair_i = jnp.repeat(jnp.arange(max_stairs), 7)        # (35,)
+  slab_j = jnp.tile(jnp.arange(7), max_stairs)
+  xs = noise[stair_i] + 6.75 * stair_i + 2.75 + offs[slab_j]
+  zs = -0.2 + lvl[slab_j] * (0.05 + h_noise[stair_i])
+  valid = (stair_i < num).astype(jnp.float32)
+  boxes = jnp.stack([
+      xs, jnp.zeros_like(xs), zs,
+      jnp.full_like(xs, 2.0), jnp.full_like(xs, 25.0),
+      jnp.full_like(xs, 0.2),
+      jnp.zeros_like(xs), valid], axis=-1)
+  ts = _empty(num_boxes=0)
+  return ts.replace(boxes=boxes,
+                    box_dirs=jnp.full((35,), 16, jnp.int32),
+                    goal_pos=jnp.asarray([20.0, 0.0, 0.0]))
+
+
+def gen_thin_wide(key: jax.Array) -> TerrainState:
+  """random_blocks_sparse_thin_wide (`_generate_convex_blocks_thin_wide`
+  :1652-1930): fixed wide slabs — (2, +-0.75) half (0.3, 0.45, 0.5) and a
+  7-row pattern at (5+7i, 0) / (8+7i, +-1.8) half (0.3, 0.85, 0.5) — plus
+  50 thin pillars and the corridor fences."""
+  kb, ks = jax.random.split(key)
+  wide = []
+  for cy_ in (0.75, -0.75):
+    wide.append([2.0, cy_, 0.5, 0.3, 0.45, 0.5, 0.0, 1.0])
+  for i in range(7):
+    wide.append([5.0 + 7 * i, 0.0, 0.5, 0.3, 0.85, 0.5, 0.0, 1.0])
+    wide.append([8.0 + 7 * i, -1.8, 0.5, 0.3, 0.85, 0.5, 0.0, 1.0])
+    wide.append([8.0 + 7 * i, 1.8, 0.3, 0.85, 0.5, 0.5, 0.0, 1.0])
+  wide = jnp.asarray(wide, jnp.float32)
+  # fix the row built with swapped fields above
+  wide = wide.at[:, 2].set(0.5)
+  wide = wide.at[:, 3].set(0.3)
+  wide = wide.at[:, 4].set(jnp.where(jnp.arange(wide.shape[0]) < 2, 0.45,
+                                     0.85))
+  wide = wide.at[:, 5].set(0.5)
+  n = NUM_SPARSE_BLOCKS
+  centers = _jittered_corridor_points(kb, n, (2.5, -3.0), (28.5, 3.0))
+  thin = jnp.concatenate([
+      centers, jnp.full((n, 1), SPARSE_HALF_HEIGHT),
+      jnp.full((n, 2), SPARSE_HALF_LEN),
+      jnp.full((n, 1), SPARSE_HALF_HEIGHT),
+      jnp.zeros((n, 1)), jnp.ones((n, 1))], axis=-1)
+  fy = jnp.array(FENCE_HALF)
+  fence = jnp.stack([
+      jnp.concatenate([jnp.array([15.0, FENCE_Y, fy[2]]), fy,
+                       jnp.zeros(1), jnp.ones(1)]),
+      jnp.concatenate([jnp.array([15.0, -FENCE_Y, fy[2]]), fy,
+                       jnp.zeros(1), jnp.ones(1)]),
+  ])
+  boxes = jnp.concatenate([wide, thin, fence], axis=0)
+  k_dirs = jax.random.fold_in(kb, 7)
+  ts = _empty(num_boxes=0)
+  subgoals = jax.random.uniform(
+      ks, (NUM_SUBGOALS, 2), minval=jnp.array([2.0, -2.2]),
+      maxval=jnp.array([30.0, 2.2]))
+  return ts.replace(
+      boxes=boxes,
+      box_dirs=jax.random.randint(
+          k_dirs, (boxes.shape[0],), 0, 20).at[:wide.shape[0]].set(16)
+      .at[-2:].set(16),
+      subgoals=subgoals)
+
+
+def gen_spheres_with_subgoal(key: jax.Array) -> TerrainState:
+  """random_sphere_with_subgoal (`_generate_spheres_and_subgoal`
+  :1249-1310): 50 r=0.2 sphere obstacles in [2,-3]..[16,3] + subgoals."""
+  kq, ks = jax.random.split(key)
+  n = 50
+  centers = jax.random.uniform(kq, (n, 2), minval=jnp.array([2.0, -3.0]),
+                               maxval=jnp.array([16.0, 3.0]))
+  spheres = jnp.concatenate([
+      centers, jnp.full((n, 1), SUBGOAL_RADIUS),
+      jnp.full((n, 1), SUBGOAL_RADIUS), jnp.ones((n, 1))], axis=-1)
+  subgoals = jax.random.uniform(
+      ks, (NUM_SUBGOALS, 2), minval=jnp.array([2.0, -2.2]),
+      maxval=jnp.array([30.0, 2.2]))
+  ts = _empty(num_boxes=0, num_spheres=n)
+  return ts.replace(obstacle_spheres=spheres, subgoals=subgoals)
+
+
+def gen_chair_desk(key: jax.Array) -> TerrainState:
+  """random_chair_desk (`_generate_chair_desk` :1931+): 50 chairs + 50
+  desks (URDF furniture, globalScaling=8) scattered in [2,-2]..[30,2].
+  Approximated with box compounds: chair = one 0.25x0.25x0.45-half box;
+  desk = an elevated top slab (0.5x0.35 half at z 0.55) on two side-leg
+  boxes, leaving a pass-under gap."""
+  kc, kd, ks = jax.random.split(key, 3)
+  nc = 50
+  chairs_xy = _jittered_corridor_points(kc, nc, (2.0, -2.0), (30.0, 2.0))
+  chairs = jnp.concatenate([
+      chairs_xy, jnp.full((nc, 1), 0.45),
+      jnp.full((nc, 2), 0.25), jnp.full((nc, 1), 0.45),
+      jnp.zeros((nc, 1)), jnp.ones((nc, 1))], axis=-1)
+  nd = 50
+  desks_xy = _jittered_corridor_points(kd, nd, (2.0, -2.0), (30.0, 2.0))
+  top = jnp.concatenate([
+      desks_xy, jnp.full((nd, 1), 0.55),
+      jnp.full((nd, 1), 0.5), jnp.full((nd, 1), 0.35),
+      jnp.full((nd, 1), 0.05),
+      jnp.zeros((nd, 1)), jnp.ones((nd, 1))], axis=-1)
+  legs = []
+  for side in (-1.0, 1.0):
+    leg_xy = desks_xy + jnp.array([side * 0.45, 0.0])
+    legs.append(jnp.concatenate([
+        leg_xy, jnp.full((nd, 1), 0.25),
+        jnp.full((nd, 2), 0.05), jnp.full((nd, 1), 0.25),
+        jnp.zeros((nd, 1)), jnp.ones((nd, 1))], axis=-1))
+  boxes = jnp.concatenate([chairs, top] + legs, axis=0)
+  subgoals = jax.random.uniform(
+      ks, (NUM_SUBGOALS, 2), minval=jnp.array([2.0, -2.2]),
+      maxval=jnp.array([30.0, 2.2]))
+  ts = _empty(num_boxes=0)
+  return ts.replace(boxes=boxes,
+                    box_dirs=jnp.full((boxes.shape[0],), 16, jnp.int32),
+                    subgoals=subgoals)
+
+
 def moving_blocks_step(terrain: TerrainState, step_counter: jnp.ndarray,
                        key: jax.Array, num_moving: int) -> TerrainState:
   """Per-step obstacle displacement + 150-step direction flips
@@ -335,18 +496,20 @@ def moving_blocks_step(terrain: TerrainState, step_counter: jnp.ndarray,
 
 TERRAIN_GENERATORS = {
     "plane": gen_plane,
-    "random_blocks": lambda k: gen_blocks_sparse(k),  # 20-block variant TODO
+    "random_blocks": gen_random_blocks,
     "random_blocks_sparse": lambda k: gen_blocks_sparse(k),
     "random_blocks_sparse_with_subgoal":
         lambda k: gen_blocks_sparse(k, subgoal=True),
-    "random_blocks_sparse_thin_wide":
-        lambda k: gen_blocks_sparse(k, thin_wide=True),
+    "random_blocks_sparse_thin_wide": gen_thin_wide,
     "random_blocks_sparse_and_heightfield":
         lambda k: gen_blocks_sparse(k, heightfield=True),
     "random_blocks_sparse_with_subgoal_heightfield":
         lambda k: gen_blocks_sparse(k, subgoal=True, heightfield=True),
     "random_heightfield": gen_random_heightfield,
     "stairs": gen_stairs,
+    "multi_stairs": gen_multi_stairs,
+    "random_sphere_with_subgoal": gen_spheres_with_subgoal,
+    "random_chair_desk": gen_chair_desk,
     "random_hill": gen_hill,
     "random_mount": lambda k: gen_mount(k, goal=False),
     "mount": lambda k: gen_mount(k, goal=True),
@@ -356,7 +519,8 @@ TERRAIN_GENERATORS = {
 FLAT_TERRAINS = frozenset([
     "plane", "random_blocks", "random_blocks_sparse",
     "random_blocks_sparse_with_subgoal", "random_blocks_sparse_thin_wide",
-    "stairs",
+    "stairs", "multi_stairs", "random_sphere_with_subgoal",
+    "random_chair_desk",
 ])
 
 # per-type init pose (QUADRUPED_INIT_POSITION, a1_randomizer_ground.py:286)
@@ -371,6 +535,9 @@ INIT_POSITION = {
     "random_blocks_sparse_with_subgoal": (0, 0, 0.32),
     "random_blocks_sparse_thin_wide": (0, 0, 0.32),
     "random_hill": (0, 0, 2.25),
+    "multi_stairs": (1.0, 0, 0.42),
+    "random_sphere_with_subgoal": (0, 0, 0.32),
+    "random_chair_desk": (0, 0, 0.32),
     "mount": (1, 1, 1.56),
     "random_mount": (1, 1, 1.56),
 }

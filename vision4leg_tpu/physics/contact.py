@@ -44,6 +44,7 @@ def make_terrain_contact_fn(
     height_fn: Callable[[jnp.ndarray], jnp.ndarray],
     normal_fn: Callable[[jnp.ndarray], jnp.ndarray],
     boxes: jnp.ndarray | None = None,
+    spheres: jnp.ndarray | None = None,
     friction: float | jnp.ndarray = 0.8,
     box_friction: float | jnp.ndarray = 0.8,
     params: ContactParams = ContactParams(),
@@ -70,6 +71,12 @@ def make_terrain_contact_fn(
       fb, phib = _sphere_box_forces(pos, vel, radius, boxes, box_friction,
                                     params)
       force = force + fb
+    # --- obstacle spheres (random_sphere_with_subgoal) ---
+    if spheres is not None and spheres.shape[0] > 0:
+      fs, phis = _sphere_sphere_forces(pos, vel, radius, spheres,
+                                       box_friction, params)
+      force = force + fs
+      phib = jnp.maximum(phib, phis)
     # penetration reported separately for ground vs. obstacles: the task's
     # contact-based termination distinguishes them (move_forward_task.py:
     # 113-132 treats *any* obstacle contact as non-foot contact)
@@ -117,4 +124,21 @@ def _sphere_box_forces(pos, vel, radius, boxes, friction, params):
   ], axis=-1)
   phi = jnp.where(valid[None] > 0.5, phi, -1.0)
   f = _contact_force(phi, nw, vel[:, None, :], friction, params)  # (P, K, 3)
+  return jnp.sum(f, axis=1), jnp.max(phi, axis=1)
+
+
+def _sphere_sphere_forces(pos, vel, radius, spheres, friction, params):
+  """Contact of P collision spheres against Q static obstacle spheres.
+
+  spheres: (Q, 5) = [center(3), radius, valid].
+  """
+  c = spheres[:, 0:3]
+  r = spheres[:, 3]
+  valid = spheres[:, 4]
+  d = pos[:, None, :] - c[None]                      # (P, Q, 3)
+  dist = jnp.linalg.norm(d, axis=-1)
+  phi = (radius[:, None] + r[None]) - dist
+  phi = jnp.where(valid[None] > 0.5, phi, -1.0)
+  n = d / jnp.maximum(dist, 1e-9)[..., None]
+  f = _contact_force(phi, n, vel[:, None, :], friction, params)
   return jnp.sum(f, axis=1), jnp.max(phi, axis=1)
