@@ -127,10 +127,15 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     # accumulates before the bootstrap modification, on_policy.py:124-141)
     ep_return = cs.ep_return + rew
 
-    # time-limit value bootstrap folded into rewards (on_policy.py:128-143)
-    next_obs_n = normalize(nstate, next_raw)
-    last_value = apply_v(params, next_obs_n)[..., 0]
-    rew = rew + discount * last_value * surpass
+    # time-limit value bootstrap folded into rewards (on_policy.py:128-143);
+    # the extra value forward only runs on steps where some env actually
+    # hits max_episode_frames (rare with 999-step episodes)
+    def bootstrap(rew):
+      next_obs_n = normalize(nstate, next_raw)
+      last_value = apply_v(params, next_obs_n)[..., 0]
+      return rew + discount * last_value * surpass
+
+    rew = jax.lax.cond(jnp.any(surpass), bootstrap, lambda r: r, rew)
     fin_sum = cs.finished_returns_sum + jnp.sum(ep_return * terminal)
     fin_cnt = cs.finished_count + jnp.sum(terminal)
 

@@ -99,31 +99,57 @@ def _friction_cone_rows(mu):
   ])
 
 
-def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float):
+def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float,
+                 adapt_every: int = 25):
   """OSQP-style ADMM for min 1/2 x^T P x + q^T x, s.t. lb <= A x <= ub.
 
-  rho is scaled by the problem magnitude (poor man's Ruiz equilibration:
-  OSQP's default rho assumes an equilibrated problem)."""
+  rho starts scaled to the problem magnitude and is re-balanced every
+  `adapt_every` iterations by the primal/dual residual ratio (OSQP's
+  adaptive-rho rule), with a fresh Cholesky refactorization — the
+  factorizations are tiny (<= ~120x120) so this stays cheap on device."""
   n = P.shape[0]
   m = A.shape[0]
-  rho = rho * jnp.maximum(jnp.trace(P) / n, 1e-9)
-  sigma = sigma * jnp.maximum(jnp.trace(P) / n, 1e-9)
-  K = P + sigma * jnp.eye(n) + rho * (A.T @ A)
-  chol = jax.scipy.linalg.cho_factor(K)
+  scale = jnp.maximum(jnp.trace(P) / n, 1e-9)
+  rho0 = rho * scale
+  sigma = sigma * scale
+  n_outer = max(iters // adapt_every, 1)
 
-  def body(carry, _):
-    x, z, y = carry
-    rhs = sigma * x - q + A.T @ (rho * z - y)
-    x_new = jax.scipy.linalg.cho_solve(chol, rhs)
-    Ax = A @ x_new
-    z_new = jnp.clip(Ax + y / rho, lb, ub)
-    y_new = y + rho * (Ax - z_new)
-    return (x_new, z_new, y_new), None
+  def factor(rho_v):
+    K = P + sigma * jnp.eye(n) + rho_v * (A.T @ A)
+    return jax.scipy.linalg.cho_factor(K)
+
+  def inner(chol, rho_v, x, z, y):
+    def body(carry, _):
+      x, z, y = carry
+      rhs = sigma * x - q + A.T @ (rho_v * z - y)
+      x_new = jax.scipy.linalg.cho_solve(chol, rhs)
+      Ax = A @ x_new
+      z_new = jnp.clip(Ax + y / rho_v, lb, ub)
+      y_new = y + rho_v * (Ax - z_new)
+      return (x_new, z_new, y_new), None
+
+    return jax.lax.scan(body, (x, z, y), None, length=adapt_every)[0]
+
+  def outer(carry, _):
+    x, z, y, rho_v = carry
+    chol = factor(rho_v)
+    x, z, y = inner(chol, rho_v, x, z, y)
+    # residual balancing (OSQP sec. 5.2)
+    Ax = A @ x
+    r_prim = jnp.linalg.norm(Ax - z) / jnp.maximum(
+        jnp.maximum(jnp.linalg.norm(Ax), jnp.linalg.norm(z)), 1e-6)
+    r_dual = jnp.linalg.norm(P @ x + q + A.T @ y) / jnp.maximum(
+        jnp.linalg.norm(q), 1e-6)
+    ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-12))
+    rho_new = jnp.clip(rho_v * jnp.clip(ratio, 0.1, 10.0),
+                       1e-6 * scale, 1e6 * scale)
+    return (x, z, y, rho_new), None
 
   x0 = jnp.zeros(n)
   z0 = jnp.clip(jnp.zeros(m), lb, ub)
   y0 = jnp.zeros(m)
-  (x, z, y), _ = jax.lax.scan(body, (x0, z0, y0), None, length=iters)
+  (x, z, y, _), _ = jax.lax.scan(outer, (x0, z0, y0, rho0), None,
+                                 length=n_outer)
   return x
 
 
