@@ -261,3 +261,37 @@ def test_replay_buffer():
   batch = jax.jit(replay.sample, static_argnums=2)(
       rb, jax.random.PRNGKey(0), 16)
   assert batch["obs"].shape == (16, 4)
+
+
+def test_host_collector_pendulum():
+  """Generic-gym entry: collect from gymnasium Pendulum with batched device
+  inference and train a PPO step on it (torchrl get_env parity)."""
+  import pytest
+  gymnasium = pytest.importorskip("gymnasium")
+  from vision4leg_tpu.collector.host import (HostOnPolicyCollector,
+                                             make_vec_env)
+
+  env = make_vec_env("Pendulum-v1", 4, asynchronous=False)
+  module = StateActorCritic(action_dim=1, hidden_shapes=(32,),
+                            append_hidden_shapes=(32,))
+  params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  coll = HostOnPolicyCollector(env, apply_pi, apply_v,
+                               max_episode_frames=50)
+  traj, last_v = coll.collect(params, horizon=20)
+  assert traj.obs.shape == (20, 4, 3)
+  assert np.all(np.isfinite(np.asarray(traj.obs)))
+
+  cfg = PPOConfig(batch_size=8, epoch_frames=80, num_epochs=5,
+                  opt_epochs=1, max_episode_frames=50)
+  learner = PPOLearner(cfg, apply_pi, apply_v, params)
+  ts = learner.init_state(params)
+  ts, metrics = jax.jit(learner.update_per_epoch)(
+      ts, traj, last_v, jax.random.PRNGKey(1))
+  assert np.isfinite(float(metrics["Training/policy_loss"]))

@@ -266,3 +266,58 @@ class NatureFuseActorCritic(nn.Module):
 
   def __call__(self, x):
     return self.pi(x), self.v(x)
+
+
+class ImpalaFuseResidualActorCritic(nn.Module):
+  """ppo_aux backbone (nets.py:384-530 ImpalaFuseResidualActor): Impala
+  visual encoder + proprio MLP; the actor output is the SUM of a fused
+  (visual+state) head and a state-only residual head, and the visual
+  features additionally regress the displacement-sensor history (the aux
+  loss, :488-530)."""
+  action_dim: int
+  state_input_shape: int
+  visual_input_shape: Tuple[int, int, int]
+  encoder_hidden_shapes: Sequence[int] = (256, 256)
+  visual_dim: int = 256
+  append_hidden_shapes: Sequence[int] = (256, 256)
+  displacement_dim: int = 7
+  history: int = 3
+  log_init: float = 0.125
+
+  def setup(self):
+    from vision4leg_tpu.models.base import ImpalaEncoder, MLPBase, RLProjection
+    self.visual_base = ImpalaEncoder(flatten=True)
+    self.visual_proj = RLProjection(self.visual_dim)
+    self.state_mlp = MLPBase(self.encoder_hidden_shapes)
+    self.head = _GaussianHead(self.action_dim, self.log_init)
+    self.pf_fused = MLPHead(self.append_hidden_shapes, self.action_dim)
+    self.pf_state = MLPHead(self.append_hidden_shapes, self.action_dim)
+    self.vf_fused = MLPHead(self.append_hidden_shapes, 1)
+    self.aux_head = MLPHead((), self.displacement_dim * self.history)
+
+  def _features(self, x):
+    state_x = x[..., : self.state_input_shape]
+    visual_x = x[..., self.state_input_shape:].reshape(
+        x.shape[:-1] + tuple(self.visual_input_shape))
+    v = self.visual_proj(self.visual_base(visual_x))
+    s = self.state_mlp(state_x)
+    return v, s, state_x
+
+  def pi_with_aux(self, x):
+    v, s, state_x = self._features(x)
+    mean = self.pf_fused(jnp.concatenate([v, s], axis=-1)) + self.pf_state(s)
+    # aux: visual features predict the displacement history, the first
+    # history*displacement_dim dims of the proprio obs (nets.py:495-499)
+    disp_gt = state_x[..., : self.history * self.displacement_dim]
+    aux_loss = jnp.mean((self.aux_head(v) - disp_gt) ** 2)
+    return self.head(mean), aux_loss
+
+  def pi(self, x):
+    return self.pi_with_aux(x)[0]
+
+  def v(self, x):
+    v, s, _ = self._features(x)
+    return self.vf_fused(jnp.concatenate([v, s], axis=-1))
+
+  def __call__(self, x):
+    return self.pi(x), self.v(x)
