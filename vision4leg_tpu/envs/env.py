@@ -488,3 +488,22 @@ class A1GymEnv:
         subgoal_reward=cfg.subgoal_reward,
         goal_coeff=cfg.goal_coeff,
     )
+
+
+def extra_sensor_readings(state: EnvState, model, dt: float):
+  """Optional sensors beyond the shipped configs (robot_sensors.py):
+  MotorVelSensor (:97), BasePositionSensor (:466), PoseSensor (:493),
+  BaseDisplacementAndRotateSensor (:283, displacement + xyzw quat)."""
+  rs, dyn = state.robot, state.dyn
+  vel = a1.delayed_motor_velocities(rs, dyn, dt)
+  base_pos = rs.phys.pos
+  quat_xyzw = maths.wxyz_to_xyzw(rs.phys.quat)
+  pose = jnp.concatenate([base_pos, maths.quat_to_rpy(rs.phys.quat)])
+  disp = rs.phys.pos - state.last_base_pos
+  disp_rot = jnp.concatenate([disp, quat_xyzw])
+  return {
+      "MotorVel": vel,
+      "BasePosition": base_pos,
+      "Pose": pose,
+      "BaseDisplacementAndRotate": disp_rot,
+  }

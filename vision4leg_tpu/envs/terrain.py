@@ -541,3 +541,25 @@ INIT_POSITION = {
     "mount": (1, 1, 1.56),
     "random_mount": (1, 1, 1.56),
 }
+
+
+def gen_triangle_mesh(key: jax.Array) -> TerrainState:
+  """triangle_mesh terrain: the reference loads terrain9735.obj with
+  mesh_scale [0.6, 0.3, 0.2] (`_load_triangle_mesh` :444, env_builder
+  :300-307); here the mesh is pre-rasterized into a heightfield asset
+  (vision4leg_tpu/assets/terrain9735_hf.npz, derived from the obj)."""
+  del key
+  import os.path as osp
+  path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                  "assets", "terrain9735_hf.npz")
+  data = np.load(path)
+  grid = jnp.asarray(data["height"])
+  origin = jnp.asarray(data["origin"])
+  cell = float(data["cell"][0])
+  ts = _empty(num_boxes=0, hf_n=grid.shape[0])
+  return ts.replace(height=grid, hf_cell=jnp.asarray(cell),
+                    hf_origin=origin, hf_zoff=jnp.asarray(0.0))
+
+
+TERRAIN_GENERATORS["triangle_mesh"] = gen_triangle_mesh
+INIT_POSITION["triangle_mesh"] = (0, 0, 0.45)
