@@ -72,18 +72,30 @@ def main():
                    seed=0, logger=_NullLogger(), save_dir="/tmp/v4l_bench",
                    obs_norm=meta["obs_norm"])
 
-  # warm up / compile
+  # warm up: compile + the first couple of executions after compilation run
+  # several times slower on this backend (executable paging); measure
+  # steady state only
   key = jax.random.PRNGKey(0)
-  ts, cs, m = agent._train_epoch(agent.train_state, agent.collector_state,
-                                 key)
-  jax.block_until_ready(m)
+  ts, cs = agent.train_state, agent.collector_state
+  for w in range(3):
+    ts, cs, m = agent._train_epoch(ts, cs, jax.random.fold_in(key, 1000 + w))
+    jax.block_until_ready(m["Training/policy_loss"])
 
   n_epochs = int(os.environ.get("V4L_BENCH_EPOCHS", "3"))
+  import sys
   t0 = time.time()
+  t_roll = 0.0
   for i in range(n_epochs):
-    ts, cs, m = agent._train_epoch(ts, cs, jax.random.fold_in(key, i))
+    t1 = time.time()
+    cs, traj, last_value = agent._rollout_jit(ts.params, cs)
+    jax.block_until_ready(last_value)
+    t_roll += time.time() - t1
+    ts, m = agent._update_jit(ts, traj, last_value,
+                              jax.random.fold_in(key, i))
   jax.block_until_ready(m)
   dt = time.time() - t0
+  print(f"phase timing: rollout {t_roll/n_epochs:.2f}s/epoch, "
+        f"update {(dt - t_roll)/n_epochs:.2f}s/epoch", file=sys.stderr)
 
   steps_per_sec = n_epochs * epoch_frames / dt
   print(json.dumps({

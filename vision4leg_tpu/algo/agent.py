@@ -92,15 +92,19 @@ class PPOAgent:
           step, init, None, length=cfg.max_episode_frames)
       return ret, steps
 
+    # two jitted phases (explore / train), mirroring the reference's
+    # Explore_Time / Train___Time accounting (rl_algo.py:111-156) and
+    # keeping each XLA program simpler than one fused mega-program
+    self._rollout_jit = jax.jit(self.rollout)
+    self._update_jit = jax.jit(self.learner.update_per_epoch)
+
     def train_epoch(ts: PPOTrainState, cs, key):
-      cs, traj, last_value = self.rollout(ts.params, cs)
-      ts, metrics = self.learner.update_per_epoch(ts, traj, last_value, key)
+      cs, traj, last_value = self._rollout_jit(ts.params, cs)
+      ts, metrics = self._update_jit(ts, traj, last_value, key)
       metrics["Training/avg_reward"] = traj.rewards.mean()
       return ts, cs, metrics
 
-    # no donation: trivial scalar leaves can alias (jnp constant caching)
-    # and XLA rejects duplicate donations; revisit for HBM-heavy configs
-    self._train_epoch = jax.jit(train_epoch)
+    self._train_epoch = train_epoch
     self._eval = jax.jit(eval_rollout)
 
     self.best_eval = -np.inf

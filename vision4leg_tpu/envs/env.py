@@ -164,6 +164,9 @@ class A1GymEnv:
     else:
       self._act_lb12 = jnp.asarray(P.JOINT_LOWER)
       self._act_ub12 = jnp.asarray(P.JOINT_UPPER)
+    # settle eagerly so the template cache is concrete before any tracing
+    self._template = None
+    self.settled_template()
 
   # --- public action space (after DiagonalAction, env_builder.py:95-107) ---
   @property
@@ -242,7 +245,11 @@ class A1GymEnv:
           body, rs, None, length=self.cfg.settle_steps * self.cfg.substeps)
       return a1.init_robot_state(self.model, rs.phys)
 
-    self._template = jax.tree.map(jax.lax.stop_gradient, settle(rs))
+    # materialize on host: the cache must hold CONCRETE arrays — if the
+    # first call happened under an outer trace, jit-inlining would leak
+    # tracers into the cache (observed as UnexpectedTracerError)
+    self._template = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                  settle(rs))
     return self._template
 
   # ------------------------------------------------------------------

@@ -50,16 +50,30 @@ def env_config_from_build_params(env_build: dict) -> EnvConfig:
   return EnvConfig(**kwargs)
 
 
-def get_env(env_name: str, env_params: dict) -> Tuple[A1GymEnv, dict]:
+def get_env(env_name: str, env_params: dict):
   """Returns (env, meta) where meta carries reward_scale / obs_norm /
   horizon for the collector layer (get_env.py:70-130 wrapper semantics)."""
-  if env_name != "A1MoveGround":
-    raise NotImplementedError(f"env {env_name} (A1MoveGroundMPC: round 2)")
   env_build = dict(env_params.get("env_build", {}))
-  cfg = env_config_from_build_params(env_build)
   meta = {
       "reward_scale": env_params.get("reward_scale", 1.0),
       "obs_norm": env_params.get("obs_norm", False),
       "horizon": env_params.get("horizon", TIMELIMIT.get(env_name, 1000)),
   }
-  return A1GymEnv(cfg), meta
+  if env_name == "A1MoveGround":
+    cfg = env_config_from_build_params(env_build)
+    return A1GymEnv(cfg), meta
+  if env_name == "A1MoveGroundMPC":
+    from vision4leg_tpu.envs.mpc_env import A1MPCGymEnv, MpcEnvConfig
+    policy_freq = env_build.pop("policy_freq", 10)
+    vision_only = env_build.pop("vision_only", False)
+    clip = env_build.pop("clip_num", None)
+    base = env_config_from_build_params(env_build)
+    import dataclasses
+    cfg = MpcEnvConfig(
+        **{f.name: getattr(base, f.name)
+           for f in dataclasses.fields(base)},
+        policy_freq=policy_freq, vision_only=vision_only)
+    cfg = dataclasses.replace(
+        cfg, clip_num=tuple(clip) if clip is not None else None)
+    return A1MPCGymEnv(cfg), meta
+  raise NotImplementedError(f"unknown env {env_name}")
