@@ -67,29 +67,43 @@ def zero_state(model: Model) -> PhysState:
       joint_qd=jnp.zeros(nj))
 
 
+def _rodrigues(axes: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+  """Batched axis-angle rotation matrices: (L, 3), (L,) -> (L, 3, 3)."""
+  c = jnp.cos(angles)[:, None, None]
+  s = jnp.sin(angles)[:, None, None]
+  K = maths.skew(axes)                         # (L, 3, 3)
+  aaT = axes[:, :, None] * axes[:, None, :]
+  eye = jnp.eye(3)[None]
+  return c * eye + s * K + (1.0 - c) * aaT
+
+
 def fwd_kinematics(model: Model, state: PhysState) -> Kin:
-  """Propagate frames root->leaves. Unrolled over the (static) tree."""
+  """Propagate frames root->leaves, one vectorized batch per tree level
+  (for the A1: 3 levels of 4 legs each instead of 12 sequential joints —
+  the sequential-op count was the dominant rollout cost on TPU)."""
   nb = model.nbody
-  R = [None] * nb
-  p = [None] * nb
-  R[0] = maths.quat_to_mat(state.quat)
-  p[0] = state.pos
-  ax_w = [None] * (nb - 1)
-  for i in range(1, nb):
-    j = i - 1
-    par = int(model.parent[i])
-    p[i] = p[par] + R[par] @ model.joint_offset[j]
-    axis = model.joint_axis[j]
-    # Rotation about the joint axis in the child frame; since the axis is
-    # invariant under its own rotation, the world axis is R_parent @ axis.
-    Rj = maths.quat_to_mat(maths.quat_from_axis_angle(axis, state.joint_q[j]))
-    R[i] = R[par] @ Rj
-    ax_w[j] = R[par] @ axis
-  R = jnp.stack(R)
-  p = jnp.stack(p)
-  com_w = p + jnp.einsum("bij,bj->bi", R, model.com)
-  ax_w = jnp.stack(ax_w)
-  return Kin(R=R, p=p, com_w=com_w, ax_w=ax_w, jp_w=p[1:])
+  R_acc = jnp.zeros((nb, 3, 3))
+  p_acc = jnp.zeros((nb, 3))
+  ax_acc = jnp.zeros((nb - 1, 3))
+  R_acc = R_acc.at[0].set(maths.quat_to_mat(state.quat))
+  p_acc = p_acc.at[0].set(state.pos)
+  for level in model.levels:
+    bidx = jnp.asarray(level)
+    jidx = jnp.asarray([b - 1 for b in level])
+    pidx = jnp.asarray([model.parent[b] for b in level])
+    Rp = R_acc[pidx]                           # (L, 3, 3)
+    pp = p_acc[pidx]                           # (L, 3)
+    offs = model.joint_offset[jidx]            # (L, 3)
+    axes = model.joint_axis[jidx]              # (L, 3)
+    q = state.joint_q[jidx]                    # (L,)
+    p_lvl = pp + jnp.einsum("lij,lj->li", Rp, offs)
+    R_lvl = jnp.einsum("lij,ljk->lik", Rp, _rodrigues(axes, q))
+    ax_lvl = jnp.einsum("lij,lj->li", Rp, axes)
+    R_acc = R_acc.at[bidx].set(R_lvl)
+    p_acc = p_acc.at[bidx].set(p_lvl)
+    ax_acc = ax_acc.at[jidx].set(ax_lvl)
+  com_w = p_acc + jnp.einsum("bij,bj->bi", R_acc, model.com)
+  return Kin(R=R_acc, p=p_acc, com_w=com_w, ax_w=ax_acc, jp_w=p_acc[1:])
 
 
 def point_jacobian(model: Model, kin: Kin, x: jnp.ndarray,
@@ -146,38 +160,33 @@ def mass_matrix(model: Model, kin: Kin) -> jnp.ndarray:
 def body_velocities(model: Model, state: PhysState, kin: Kin):
   """Per-body (omega, v_com) plus bias (qddot=0) accelerations.
 
-  Newton-Euler propagation in point form, root->leaves.  Returns
-  (omega (B,3), v_com (B,3), alpha_bias (B,3), a_com_bias (B,3)).
+  Newton-Euler propagation in point form, root->leaves, vectorized per
+  tree level.  Returns (omega (B,3), v_com (B,3), alpha_bias (B,3),
+  a_com_bias (B,3)).
   """
   nb = model.nbody
-  omega = [None] * nb
-  alpha = [None] * nb
-  v_ref = [None] * nb   # velocity of the body's reference point
-  a_ref = [None] * nb   # bias acceleration of the reference point
-  ref = [None] * nb     # the reference point itself (world)
-  omega[0] = state.ang
-  alpha[0] = jnp.zeros(3)
-  v_ref[0] = state.lin
-  a_ref[0] = jnp.zeros(3)
-  ref[0] = kin.p[0]
-  for i in range(1, nb):
-    j = i - 1
-    par = int(model.parent[i])
-    pj = kin.jp_w[j]
-    r = pj - ref[par]
-    a = kin.ax_w[j]
-    qd = state.joint_qd[j]
-    omega[i] = omega[par] + a * qd
-    alpha[i] = alpha[par] + jnp.cross(omega[par], a) * qd
-    v_ref[i] = v_ref[par] + jnp.cross(omega[par], r)
-    a_ref[i] = (a_ref[par] + jnp.cross(alpha[par], r)
-                + jnp.cross(omega[par], jnp.cross(omega[par], r)))
-    ref[i] = pj
-  omega = jnp.stack(omega)
-  alpha = jnp.stack(alpha)
-  v_ref = jnp.stack(v_ref)
-  a_ref = jnp.stack(a_ref)
-  ref = jnp.stack(ref)
+  omega = jnp.zeros((nb, 3)).at[0].set(state.ang)
+  alpha = jnp.zeros((nb, 3))
+  v_ref = jnp.zeros((nb, 3)).at[0].set(state.lin)
+  a_ref = jnp.zeros((nb, 3))
+  ref = jnp.zeros((nb, 3)).at[0].set(kin.p[0])
+  for level in model.levels:
+    bidx = jnp.asarray(level)
+    jidx = jnp.asarray([b - 1 for b in level])
+    pidx = jnp.asarray([model.parent[b] for b in level])
+    om_p = omega[pidx]
+    al_p = alpha[pidx]
+    vr_p = v_ref[pidx]
+    ar_p = a_ref[pidx]
+    r = kin.jp_w[jidx] - ref[pidx]             # (L, 3)
+    a = kin.ax_w[jidx]
+    qd = state.joint_qd[jidx][:, None]
+    omega = omega.at[bidx].set(om_p + a * qd)
+    alpha = alpha.at[bidx].set(al_p + jnp.cross(om_p, a) * qd)
+    v_ref = v_ref.at[bidx].set(vr_p + jnp.cross(om_p, r))
+    a_ref = a_ref.at[bidx].set(
+        ar_p + jnp.cross(al_p, r) + jnp.cross(om_p, jnp.cross(om_p, r)))
+    ref = ref.at[bidx].set(kin.jp_w[jidx])
   rc = kin.com_w - ref
   v_com = v_ref + jnp.cross(omega, rc)
   a_com = (a_ref + jnp.cross(alpha, rc)

@@ -27,6 +27,9 @@ class Model:
   """
   # tree topology (static: it defines the program structure, not data)
   parent: tuple = struct.field(pytree_node=False)  # (B,) ints; parent[0] = -1
+  # bodies grouped by tree depth (level-synchronous kinematics: each level
+  # is one batch of vectorized ops instead of per-joint sequential chains)
+  levels: tuple = struct.field(pytree_node=False)
   joint_axis: jnp.ndarray    # (J, 3) axis in the child-body frame
   joint_offset: jnp.ndarray  # (J, 3) child-frame origin in the parent frame
   # per-dof ancestry: mask[i, k] = 1 if joint k is on the path root->body i
@@ -82,11 +85,16 @@ def make_model(parent, joint_axis, joint_offset, mass, com, inertia,
   nb = parent.shape[0]
   nj = nb - 1
   mask = np.zeros((nb, nj), np.float32)
+  depth = np.zeros(nb, np.int32)
   for i in range(1, nb):
     b = i
     while b > 0:
       mask[i, b - 1] = 1.0
       b = parent[b]
+    depth[i] = depth[parent[i]] + 1
+  levels = tuple(
+      tuple(int(i) for i in np.where(depth == d)[0])
+      for d in range(1, depth.max() + 1))
 
   def arr(x, shape):
     x = np.asarray(x, np.float32)
@@ -94,6 +102,7 @@ def make_model(parent, joint_axis, joint_offset, mass, com, inertia,
 
   return Model(
       parent=tuple(int(p) for p in parent),
+      levels=levels,
       joint_axis=jnp.asarray(joint_axis, jnp.float32),
       joint_offset=jnp.asarray(joint_offset, jnp.float32),
       ancestor_mask=jnp.asarray(mask),
