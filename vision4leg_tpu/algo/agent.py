@@ -54,6 +54,11 @@ class PPOAgent:
     def apply_v(p, x):
       return ac_module.apply(p, x, method=ac_module.v)
 
+    apply_pi_v = None
+    if hasattr(ac_module, "pi_v"):
+      def apply_pi_v(p, x):
+        return ac_module.apply(p, x, method=ac_module.pi_v)
+
     self.apply_pi, self.apply_v = apply_pi, apply_v
     self.learner = PPOLearner(cfg, apply_pi, apply_v, params)
     self.train_state = self.learner.init_state(params)
@@ -64,7 +69,8 @@ class PPOAgent:
     self.rollout = rollout_lib.make_rollout_fn(
         env, apply_pi, apply_v, horizon, cfg.max_episode_frames,
         cfg.discount, env.cfg.proprio_dim, obs_norm=obs_norm,
-        update_normalizer=True, action_low=act_low, action_high=act_high)
+        update_normalizer=True, action_low=act_low, action_high=act_high,
+        apply_pi_v=apply_pi_v)
     self.collector_state = rollout_lib.init_collector(env, num_envs, k_coll)
 
     # deterministic eval rollout (collector/base.py:235-288: eval_act=mean,

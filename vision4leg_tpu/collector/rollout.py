@@ -77,7 +77,8 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
                     proprio_dim: int, obs_norm: bool = True,
                     update_normalizer: bool = True,
                     action_low=None, action_high=None,
-                    env_time_limit: int = 1000):
+                    env_time_limit: int = 1000,
+                    apply_pi_v: Callable = None):
   """Build `rollout(params, collector_state) -> (state, Transition, last_v)`.
 
   apply_pi(params, obs) -> (mean, std, logstd); apply_v(params, obs) -> (B,1).
@@ -100,13 +101,17 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
       nstate = norm.update(nstate, cs.raw_obs[..., :proprio_dim])
     obs = normalize(nstate, cs.raw_obs)
 
-    mean, std, _ = apply_pi(params, obs)
+    if apply_pi_v is not None:
+      # fused policy+value: shared encoder computed once per step
+      (mean, std, _), value = apply_pi_v(params, obs)
+    else:
+      mean, std, _ = apply_pi(params, obs)
+      value = apply_v(params, obs)
     noise = jax.random.normal(k_act, mean.shape)
     act = mean + std * noise
     log_prob = jnp.sum(
         -0.5 * (noise**2) - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi),
         axis=-1, keepdims=True)
-    value = apply_v(params, obs)
 
     # NormAct: tanh + affine rescale into env action bounds
     env_act = jnp.tanh(act)

@@ -79,6 +79,13 @@ class StateActorCritic(nn.Module):
   def v(self, x):
     return self.vf_mlp(self.base(x))
 
+  def pi_v(self, x):
+    """Policy and value in one pass over the shared base (the
+    rollout calls both every step; sharing the trunk halves encoder
+    cost)."""
+    h = self.base(x)
+    return self.head(self.pf_mlp(h)), self.vf_mlp(h)
+
   def __call__(self, x):
     return self.pi(x), self.v(x)
 
@@ -140,6 +147,19 @@ class LocoTransformerActorCritic(nn.Module):
     for layer in self.vf_layers:
       t = layer(t)
     return self.vf_mlp(self._pool(t))
+
+  def pi_v(self, x):
+    """Tokenize once, run both transformer stacks (the conv
+    tokenizer dominates; pi/v separately would run it twice)."""
+    t0 = self._tokens(x)
+    t = t0
+    for layer in self.pf_layers:
+      t = layer(t)
+    pi_out = self.head(self.pf_mlp(self._pool(t)))
+    t = t0
+    for layer in self.vf_layers:
+      t = layer(t)
+    return pi_out, self.vf_mlp(self._pool(t))
 
   def __call__(self, x):
     return self.pi(x), self.v(x)
