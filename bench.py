@@ -47,7 +47,7 @@ def main():
   params = get_params(cfg_path)
   env, meta = get_env(params["env_name"], params["env"])
 
-  num_envs = int(os.environ.get("V4L_BENCH_ENVS", "256"))
+  num_envs = int(os.environ.get("V4L_BENCH_ENVS", "1024"))
   epoch_frames = params["collector"]["epoch_frames"]
 
   module = LocoTransformerActorCritic(
