@@ -177,3 +177,51 @@ def test_fk_standing_geometry():
   toe_z = np.array(pos[:4, 2])
   np.testing.assert_allclose(toe_z, toe_z[0], atol=1e-5)
   assert 0.0 < float(toe_z[0]) < 0.1
+
+
+def test_cg_solver_matches_cholesky():
+  """The fixed-iteration CG used inside Pallas-capable paths must match
+  the Cholesky solve on realistic mass matrices."""
+  from vision4leg_tpu.physics.engine import solve_spd_cg
+
+  @jax.jit
+  def both(key):
+    s = random_state(MODEL, key)
+    kin = engine.fwd_kinematics(MODEL, s)
+    M = engine.mass_matrix(MODEL, kin)
+    Mr = M + jnp.diag(jnp.concatenate([jnp.zeros(6), MODEL.armature]))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (18,))
+    x_cg = solve_spd_cg(Mr, b)
+    x_ch = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Mr), b)
+    return x_cg, x_ch, Mr, b
+
+  for seed in range(4):
+    x_cg, x_ch, Mr, b = both(jax.random.PRNGKey(seed))
+    rel = float(jnp.linalg.norm(x_cg - x_ch) / jnp.linalg.norm(x_ch))
+    assert rel < 5e-3, rel
+
+
+def test_standing_with_cg_solver():
+  """Standing stability must hold with the CG dynamics solver."""
+  from vision4leg_tpu.physics import contact
+  from vision4leg_tpu.envs import terrain as terr
+  ts = terr.gen_plane(jax.random.PRNGKey(0))
+  h, n = terr.flat_height_fn(ts)
+  cfn = contact.make_terrain_contact_fn(h, n, boxes=ts.boxes)
+  init_q = jnp.asarray(np.array([0, 0.9, -1.8] * 4, np.float32))
+
+  @jax.jit
+  def run():
+    s = engine.zero_state(MODEL).replace(
+        pos=jnp.array([0.0, 0.0, 0.27]), joint_q=init_q)
+
+    def body(s, _):
+      s, _, _ = engine.step(MODEL, s, -80.0 * (s.joint_q - init_q)
+                            - 0.4 * s.joint_qd, cfn, solver="cg")
+      return s, s.pos[2]
+
+    return jax.lax.scan(body, s, None, length=800)[1]
+
+  zs = np.asarray(run())
+  assert np.all(zs[200:] > 0.2) and np.all(zs[200:] < 0.35), (
+      zs.min(), zs.max())

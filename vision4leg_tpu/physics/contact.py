@@ -112,9 +112,15 @@ def _sphere_box_forces(pos, vel, radius, boxes, friction, params):
                   radius[:, None] - dist_out)
   # normal: outward from closest point (outside) or nearest-face axis (inside)
   n_out = delta / jnp.maximum(dist_out, 1e-9)[..., None]
-  axis = jnp.argmin(face_gap, axis=-1)               # (P, K)
-  sign = jnp.sign(jnp.take_along_axis(lp, axis[..., None], axis=-1))[..., 0]
-  n_face = jnp.eye(3)[axis] * sign[..., None]
+  # branchless one-hot argmin (first-min tie-break, same as jnp.argmin):
+  # gather/take_along_axis do not lower inside Pallas TPU kernels
+  g0, g1, g2 = face_gap[..., 0], face_gap[..., 1], face_gap[..., 2]
+  m0 = (g0 <= g1) & (g0 <= g2)
+  m1 = jnp.logical_not(m0) & (g1 <= g2)
+  m2 = jnp.logical_not(m0 | m1)
+  onehot = jnp.stack([m0, m1, m2], axis=-1).astype(lp.dtype)   # (P, K, 3)
+  sign = jnp.sign(jnp.sum(lp * onehot, axis=-1))
+  n_face = onehot * sign[..., None]
   n_local = jnp.where(inside[..., None], n_face, n_out)
   # rotate normal back to world (yaw)
   nw = jnp.stack([

@@ -67,6 +67,21 @@ def zero_state(model: Model) -> PhysState:
       joint_qd=jnp.zeros(nj))
 
 
+def _mm(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+  """Batched small matmul (..., m, k) @ (..., k, n) as broadcast mul+sum.
+
+  The 3x3/3xN products here are far below MXU size; expressing them as
+  mul+reduce (VPU) also sidesteps Mosaic's 1-batch-dim tpu.matmul limit,
+  which the env-tile vmap inside the Pallas window kernel would exceed.
+  """
+  return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _mv(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+  """Batched small matvec (..., m, k) @ (..., k) as broadcast mul+sum."""
+  return jnp.sum(A * x[..., None, :], axis=-1)
+
+
 def _rodrigues(axes: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
   """Batched axis-angle rotation matrices: (L, 3), (L,) -> (L, 3, 3)."""
   c = jnp.cos(angles)[:, None, None]
@@ -82,37 +97,47 @@ def fwd_kinematics(model: Model, state: PhysState) -> Kin:
   (for the A1: 3 levels of 4 legs each instead of 12 sequential joints —
   the sequential-op count was the dominant rollout cost on TPU)."""
   nb = model.nbody
-  R_acc = jnp.zeros((nb, 3, 3))
-  p_acc = jnp.zeros((nb, 3))
-  ax_acc = jnp.zeros((nb - 1, 3))
-  R_acc = R_acc.at[0].set(maths.quat_to_mat(state.quat))
-  p_acc = p_acc.at[0].set(state.pos)
+  # per-body values live in Python lists (filled root->leaves, then stacked
+  # once): no functional array updates, so the traced body contains neither
+  # scatters nor constant index arrays — both reject in Pallas TPU lowering
+  R_list = [None] * nb
+  p_list = [None] * nb
+  ax_list = [None] * (nb - 1)
+  R_list[0] = maths.quat_to_mat(state.quat)
+  p_list[0] = state.pos
   for level in model.levels:
-    bidx = jnp.asarray(level)
-    jidx = jnp.asarray([b - 1 for b in level])
-    pidx = jnp.asarray([model.parent[b] for b in level])
-    Rp = R_acc[pidx]                           # (L, 3, 3)
-    pp = p_acc[pidx]                           # (L, 3)
-    offs = model.joint_offset[jidx]            # (L, 3)
-    axes = model.joint_axis[jidx]              # (L, 3)
-    q = state.joint_q[jidx]                    # (L,)
-    p_lvl = pp + jnp.einsum("lij,lj->li", Rp, offs)
-    R_lvl = jnp.einsum("lij,ljk->lik", Rp, _rodrigues(axes, q))
-    ax_lvl = jnp.einsum("lij,lj->li", Rp, axes)
-    R_acc = R_acc.at[bidx].set(R_lvl)
-    p_acc = p_acc.at[bidx].set(p_lvl)
-    ax_acc = ax_acc.at[jidx].set(ax_lvl)
-  com_w = p_acc + jnp.einsum("bij,bj->bi", R_acc, model.com)
+    jl = [b - 1 for b in level]
+    plz = [model.parent[b] for b in level]
+    Rp = jnp.stack([R_list[i] for i in plz])   # (L, 3, 3)
+    pp = jnp.stack([p_list[i] for i in plz])   # (L, 3)
+    offs = jnp.stack([model.joint_offset[j] for j in jl])
+    axes = jnp.stack([model.joint_axis[j] for j in jl])
+    q = jnp.stack([state.joint_q[j] for j in jl])
+    p_lvl = pp + _mv(Rp, offs)
+    R_lvl = _mm(Rp, _rodrigues(axes, q))
+    ax_lvl = _mv(Rp, axes)
+    for k, b in enumerate(level):
+      R_list[b] = R_lvl[k]
+      p_list[b] = p_lvl[k]
+      ax_list[b - 1] = ax_lvl[k]
+  R_acc = jnp.stack(R_list)
+  p_acc = jnp.stack(p_list)
+  ax_acc = jnp.stack(ax_list)
+  com_w = p_acc + _mv(R_acc, model.com)
   return Kin(R=R_acc, p=p_acc, com_w=com_w, ax_w=ax_acc, jp_w=p_acc[1:])
 
 
 def point_jacobian(model: Model, kin: Kin, x: jnp.ndarray,
-                   body: jnp.ndarray) -> jnp.ndarray:
+                   body) -> jnp.ndarray:
   """Translational Jacobian (3, nv) of world point x attached to `body`.
 
-  Vectorized over leading axes of (x, body) if present.
+  `body` is a static int or tuple of ints (matching leading axes of x):
+  static indexing keeps the traced program gather-free for Pallas.
   """
-  mask = model.ancestor_mask[body]                    # (..., J)
+  if isinstance(body, (tuple, list)):
+    mask = jnp.stack([model.ancestor_mask[b] for b in body])  # (P, J)
+  else:
+    mask = model.ancestor_mask[body]                  # (..., J)
   r_joint = x[..., None, :] - kin.jp_w                # (..., J, 3)
   cols_j = jnp.cross(kin.ax_w, r_joint) * mask[..., None]  # (..., J, 3)
   eye = jnp.eye(3, dtype=x.dtype)
@@ -151,9 +176,21 @@ def _body_jacobians(model: Model, kin: Kin):
 def mass_matrix(model: Model, kin: Kin) -> jnp.ndarray:
   """Joint-space inertia matrix (nv, nv) via CRB in world coordinates."""
   Jw, Jv = _body_jacobians(model, kin)
-  Iw = jnp.einsum("bij,bjk,blk->bil", kin.R, model.inertia, kin.R)
-  M = (jnp.einsum("b,biv,biw->vw", model.mass, Jv, Jv)
-       + jnp.einsum("biv,bij,bjw->vw", Jw, Iw, Jw))
+  Iw = _mm(_mm(kin.R, model.inertia), jnp.swapaxes(kin.R, -1, -2))
+  # mass scaling as explicit mul: a "b,biv,..." einsum stage becomes a
+  # contraction-free dot_general, which Mosaic fails to (de)serialize.
+  # The remaining (b,i)-contractions keep exactly one batch dim under the
+  # env vmap, which tpu.matmul accepts — and they are the real FLOPs.
+  mJv = model.mass[:, None, None] * Jv
+  IwJw = _mm(Iw, Jw)
+
+  # merge (body, axis) into one contraction dim: Mosaic's tpu.matmul
+  # requires exactly one contracting dim
+  def flat2(A):
+    return A.reshape(A.shape[:-3] + (-1, A.shape[-1]))   # (..., 3B, nv)
+
+  M = (jnp.einsum("...kv,...kw->...vw", flat2(mJv), flat2(Jv))
+       + jnp.einsum("...kv,...kw->...vw", flat2(Jw), flat2(IwJw)))
   return M
 
 
@@ -165,28 +202,44 @@ def body_velocities(model: Model, state: PhysState, kin: Kin):
   a_com_bias (B,3)).
   """
   nb = model.nbody
-  omega = jnp.zeros((nb, 3)).at[0].set(state.ang)
-  alpha = jnp.zeros((nb, 3))
-  v_ref = jnp.zeros((nb, 3)).at[0].set(state.lin)
-  a_ref = jnp.zeros((nb, 3))
-  ref = jnp.zeros((nb, 3)).at[0].set(kin.p[0])
+  # Python-list accumulators for the same reason as fwd_kinematics: the
+  # traced body must stay free of scatters for Pallas TPU lowering
+  zero3 = jnp.zeros(3)
+  om_list = [zero3] * nb
+  al_list = [zero3] * nb
+  vr_list = [zero3] * nb
+  ar_list = [zero3] * nb
+  ref_list = [zero3] * nb
+  om_list[0] = state.ang
+  vr_list[0] = state.lin
+  ref_list[0] = kin.p[0]
   for level in model.levels:
-    bidx = jnp.asarray(level)
-    jidx = jnp.asarray([b - 1 for b in level])
-    pidx = jnp.asarray([model.parent[b] for b in level])
-    om_p = omega[pidx]
-    al_p = alpha[pidx]
-    vr_p = v_ref[pidx]
-    ar_p = a_ref[pidx]
-    r = kin.jp_w[jidx] - ref[pidx]             # (L, 3)
-    a = kin.ax_w[jidx]
-    qd = state.joint_qd[jidx][:, None]
-    omega = omega.at[bidx].set(om_p + a * qd)
-    alpha = alpha.at[bidx].set(al_p + jnp.cross(om_p, a) * qd)
-    v_ref = v_ref.at[bidx].set(vr_p + jnp.cross(om_p, r))
-    a_ref = a_ref.at[bidx].set(
-        ar_p + jnp.cross(al_p, r) + jnp.cross(om_p, jnp.cross(om_p, r)))
-    ref = ref.at[bidx].set(kin.jp_w[jidx])
+    jl = [b - 1 for b in level]
+    plz = [model.parent[b] for b in level]
+    om_p = jnp.stack([om_list[i] for i in plz])
+    al_p = jnp.stack([al_list[i] for i in plz])
+    vr_p = jnp.stack([vr_list[i] for i in plz])
+    ar_p = jnp.stack([ar_list[i] for i in plz])
+    jpw = jnp.stack([kin.jp_w[j] for j in jl])
+    r = jpw - jnp.stack([ref_list[i] for i in plz])   # (L, 3)
+    a = jnp.stack([kin.ax_w[j] for j in jl])
+    qd = jnp.stack([state.joint_qd[j] for j in jl])[:, None]
+    om_l = om_p + a * qd
+    al_l = al_p + jnp.cross(om_p, a) * qd
+    vr_l = vr_p + jnp.cross(om_p, r)
+    ar_l = (ar_p + jnp.cross(al_p, r)
+            + jnp.cross(om_p, jnp.cross(om_p, r)))
+    for k, b in enumerate(level):
+      om_list[b] = om_l[k]
+      al_list[b] = al_l[k]
+      vr_list[b] = vr_l[k]
+      ar_list[b] = ar_l[k]
+      ref_list[b] = jpw[k]
+  omega = jnp.stack(om_list)
+  alpha = jnp.stack(al_list)
+  v_ref = jnp.stack(vr_list)
+  a_ref = jnp.stack(ar_list)
+  ref = jnp.stack(ref_list)
   rc = kin.com_w - ref
   v_com = v_ref + jnp.cross(omega, rc)
   a_com = (a_ref + jnp.cross(alpha, rc)
@@ -201,23 +254,25 @@ def bias_forces(model: Model, state: PhysState, kin: Kin) -> jnp.ndarray:
   """
   Jw, Jv = _body_jacobians(model, kin)
   omega, _, alpha, a_com = body_velocities(model, state, kin)
-  Iw = jnp.einsum("bij,bjk,blk->bil", kin.R, model.inertia, kin.R)
+  Iw = _mm(_mm(kin.R, model.inertia), jnp.swapaxes(kin.R, -1, -2))
   F = model.mass[:, None] * (a_com - model.gravity)     # (B, 3)
-  Iww = jnp.einsum("bij,bj->bi", Iw, omega)
-  T = jnp.einsum("bij,bj->bi", Iw, alpha) + jnp.cross(omega, Iww)
-  return (jnp.einsum("biv,bi->v", Jv, F)
-          + jnp.einsum("biv,bi->v", Jw, T))
+  Iww = _mv(Iw, omega)
+  T = _mv(Iw, alpha) + jnp.cross(omega, Iww)
+  return (jnp.sum(Jv * F[..., None], axis=(-3, -2))
+          + jnp.sum(Jw * T[..., None], axis=(-3, -2)))
 
 
 def contact_points_world(model: Model, state: PhysState, kin: Kin):
   """World positions and velocities of all collision points."""
-  Rb = kin.R[model.cp_body]                              # (P, 3, 3)
-  pos = kin.p[model.cp_body] + jnp.einsum("pij,pj->pi", Rb, model.cp_offset)
+  # cp_body holds static ints: stack of static slices, not a gather
+  Rb = jnp.stack([kin.R[b] for b in model.cp_body])      # (P, 3, 3)
+  pb = jnp.stack([kin.p[b] for b in model.cp_body])      # (P, 3)
+  pos = pb + _mv(Rb, model.cp_offset)
   omega, _, _, _ = body_velocities(model, state, kin)
   # velocity of point = v_ref(body origin path) — recompute via Jacobian to
   # stay allocation-friendly: v = J_p v_gen
   Jp = point_jacobian(model, kin, pos, model.cp_body)    # (P, 3, nv)
-  v = jnp.einsum("piv,v->pi", Jp, gen_velocity(state))
+  v = jnp.sum(Jp * gen_velocity(state)[..., None, None, :], axis=-1)
   return pos, v, Jp
 
 
@@ -236,22 +291,60 @@ def joint_limit_torque(model: Model, state: PhysState,
   return k_lim * (below - above) - d_lim * qd * viol
 
 
+def solve_spd_cg(M: jnp.ndarray, b: jnp.ndarray,
+                 iters: int = 24) -> jnp.ndarray:
+  """Jacobi-preconditioned conjugate gradient for the (nv, nv) SPD mass
+  matrix.  Fixed iteration count, pure vector ops — lowers inside Pallas
+  kernels (LAPACK-style cho_factor does not) and avoids the batched-
+  small-Cholesky custom call."""
+  # vector dots as mul+sum: Mosaic fails to parse dot_general attrs with
+  # empty non-contracting dims (vector-vector dot)
+  vdot = lambda a, b: jnp.sum(a * b)
+  mv = lambda A, v: jnp.sum(A * v[..., None, :], axis=-1)
+  dinv = 1.0 / jnp.diagonal(M)
+  x = b * dinv
+  r = b - mv(M, x)
+  z = dinv * r
+  p = z
+  rz = vdot(r, z)
+
+  def body(_, carry):
+    x, r, p, rz = carry
+    Mp = mv(M, p)
+    alpha = rz / jnp.maximum(vdot(p, Mp), 1e-12)
+    x = x + alpha * p
+    r = r - alpha * Mp
+    z = dinv * r
+    rz_new = vdot(r, z)
+    p = z + (rz_new / jnp.maximum(rz, 1e-12)) * p
+    return (x, r, p, rz_new)
+
+  # fori_loop (not scan): Mosaic's while lowering only accepts the
+  # fori pattern, and this must lower inside the Pallas window kernel
+  x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+  return x
+
+
 def fwd_dynamics(model: Model, state: PhysState, tau_joints: jnp.ndarray,
-                 contact_fn: ContactFn):
+                 contact_fn: ContactFn, solver: str = "chol"):
   """Forward dynamics: generalized acceleration and contact diagnostics."""
   kin = fwd_kinematics(model, state)
   M = mass_matrix(model, kin)
   h = bias_forces(model, state, kin)
   cpos, cvel, Jp = contact_points_world(model, state, kin)
   f_c, penetration = contact_fn(cpos, cvel, model.cp_radius)
-  tau_c = jnp.einsum("piv,pi->v", Jp, f_c)
+  tau_c = jnp.sum(Jp * f_c[..., None], axis=(-3, -2))
   tau_j = (tau_joints + joint_limit_torque(model, state)
            - model.joint_damping * state.joint_qd
            - model.joint_friction * jnp.tanh(state.joint_qd / 0.05))
   tau = jnp.concatenate([jnp.zeros(6), tau_j])
   Mr = M + jnp.diag(jnp.concatenate([jnp.zeros(6), model.armature]))
-  vdot = jax.scipy.linalg.cho_solve(
-      jax.scipy.linalg.cho_factor(Mr), tau + tau_c - h)
+  rhs = tau + tau_c - h
+  if solver == "cg":
+    vdot = solve_spd_cg(Mr, rhs)
+  else:
+    vdot = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(Mr), rhs)
   return vdot, kin, penetration, f_c
 
 
@@ -270,10 +363,10 @@ def integrate(model: Model, state: PhysState,
 
 
 def step(model: Model, state: PhysState, tau_joints: jnp.ndarray,
-         contact_fn: ContactFn):
+         contact_fn: ContactFn, solver: str = "chol"):
   """One physics substep. Returns (new_state, penetration (P,), forces)."""
   vdot, _, penetration, f_c = fwd_dynamics(model, state, tau_joints,
-                                           contact_fn)
+                                           contact_fn, solver=solver)
   return integrate(model, state, vdot), penetration, f_c
 
 

@@ -44,8 +44,10 @@ class Model:
   armature: jnp.ndarray      # (J,) reflected rotor inertia added to M diagonal
   joint_damping: jnp.ndarray  # (J,) viscous damping (Nm s/rad)
   joint_friction: jnp.ndarray  # (J,) Coulomb friction torque (Nm)
-  # collision points: spheres rigidly attached to bodies
-  cp_body: jnp.ndarray       # (P,) int32 body index
+  # collision points: spheres rigidly attached to bodies.  cp_body is
+  # static like the topology: the engine indexes bodies with Python ints
+  # so the traced program has no gathers (Pallas TPU rejects >2D gathers)
+  cp_body: tuple = struct.field(pytree_node=False)  # (P,) ints
   cp_offset: jnp.ndarray     # (P, 3) body-frame offset
   cp_radius: jnp.ndarray     # (P,)
   cp_is_foot: jnp.ndarray    # (P,) 1.0 for toe points (feet), else 0.0
@@ -68,7 +70,7 @@ class Model:
 
   @property
   def ncp(self) -> int:
-    return self.cp_body.shape[0]
+    return len(self.cp_body)
 
 
 def make_model(parent, joint_axis, joint_offset, mass, com, inertia,
@@ -114,7 +116,7 @@ def make_model(parent, joint_axis, joint_offset, mass, com, inertia,
       armature=jnp.asarray(arr(armature, (nj,))),
       joint_damping=jnp.asarray(arr(joint_damping, (nj,))),
       joint_friction=jnp.asarray(arr(joint_friction, (nj,))),
-      cp_body=jnp.asarray(cp_body, jnp.int32),
+      cp_body=tuple(int(b) for b in np.asarray(cp_body)),
       cp_offset=jnp.asarray(cp_offset, jnp.float32),
       cp_radius=jnp.asarray(cp_radius, jnp.float32),
       cp_is_foot=jnp.asarray(cp_is_foot, jnp.float32),
