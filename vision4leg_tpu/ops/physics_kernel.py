@@ -4,15 +4,18 @@ The measured rollout bottleneck is per-op overhead: one substep of the
 rigid-body engine is ~300 small XLA ops (FK levels, Jacobians, mass
 matrix, contacts, CG solve), each touching tiny (B, 3..18) tensors — at
 batch 1024 a substep costs ~2.7 ms while doing only ~50 MFLOP.  This
-kernel runs the ENTIRE `robot_step` window (action_repeat x substeps,
-PD motor model included) for a tile of environments inside one Pallas
-program: all intermediates stay in VMEM/registers and the ~300-op chain
-compiles to straight-line VPU code instead of dispatched XLA kernels.
+kernel runs the ENTIRE `robot_step` window (action_repeat substeps, PD
+motor model included) for a tile of environments inside one Pallas
+program: all intermediates stay in VMEM and the ~300-op chain compiles
+to straight-line VPU code instead of dispatched XLA kernels.
 
-The kernel body reuses the engine's math verbatim (vmapped over the env
-tile) with the CG dynamics solver (engine.solve_spd_cg) — LAPACK-style
-cho_factor does not lower in Mosaic.  Parity with the XLA path is tested
-in tests/test_physics_kernel.py; non-TPU backends fall back to XLA.
+Inside the kernel the math is the env-LAST formulation from
+`ops/physics_envlast.py`: the environment axis is the TPU lane axis, so
+every scalar operation of the physics is a full-width vector op over
+TILE_E environments (see that module's docstring for why env-first
+layouts are both slow and un-lowerable here).  Numerical parity with the
+vmapped engine is tested in tests/test_physics_kernel.py; non-TPU
+backends fall back to the identical-math XLA path.
 """
 from __future__ import annotations
 
@@ -22,6 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from vision4leg_tpu.ops import physics_envlast as pe
 from vision4leg_tpu.physics import contact as contact_lib
 from vision4leg_tpu.physics import engine
 from vision4leg_tpu.physics.model import Model
@@ -36,16 +40,48 @@ except ImportError:  # pragma: no cover
 
 TILE_E = 128
 
+# fixed leaf order for the env-last dicts crossing the kernel boundary
+RS_KEYS = ("pos", "quat", "q", "ang", "lin", "qd", "hist", "obs_tau",
+           "last_action", "counter")
+DYN_KEYS = ("kp", "kd", "strength", "motor_friction", "joint_friction",
+            "mass_scale", "inertia_scale")
+
+
+def _rs_to_envlast(rs: a1.RobotState) -> dict:
+  t = lambda x: jnp.moveaxis(x, 0, -1)
+  return dict(
+      pos=t(rs.phys.pos), quat=t(rs.phys.quat), q=t(rs.phys.joint_q),
+      ang=t(rs.phys.ang), lin=t(rs.phys.lin), qd=t(rs.phys.joint_qd),
+      hist=t(rs.obs_hist), obs_tau=t(rs.observed_torques),
+      last_action=t(rs.last_robot_action), counter=rs.step_counter)
+
+
+def _rs_from_envlast(d: dict) -> a1.RobotState:
+  t = lambda x: jnp.moveaxis(x, -1, 0)
+  return a1.RobotState(
+      phys=engine.PhysState(pos=t(d["pos"]), quat=t(d["quat"]),
+                            joint_q=t(d["q"]), ang=t(d["ang"]),
+                            lin=t(d["lin"]), joint_qd=t(d["qd"])),
+      obs_hist=t(d["hist"]), observed_torques=t(d["obs_tau"]),
+      last_robot_action=t(d["last_action"]), step_counter=d["counter"])
+
+
+def _dyn_to_envlast(dyn: a1.DynamicsParams) -> dict:
+  t = lambda x: jnp.moveaxis(x, 0, -1)
+  return dict(
+      kp=t(dyn.kp), kd=t(dyn.kd), strength=t(dyn.strength_ratios),
+      motor_friction=dyn.motor_friction, joint_friction=dyn.joint_friction,
+      mass_scale=t(dyn.mass_scale), inertia_scale=t(dyn.inertia_scale))
+
 
 def _window_math(model: Model, rs: a1.RobotState, command, dyn,
-                 boxes, friction, n_substeps: int):
-  """One env's full action-repeat window (a1.robot_step equivalent for the
-  flat-ground fast path with pruned obstacle boxes)."""
+                 boxes, friction, n_substeps: int, interpolate: bool):
+  """One env's full action-repeat window — env-first XLA fallback with
+  semantics identical to a1.robot_step (flat ground + pruned boxes,
+  CG solver, window-wide contact flags)."""
   h_fn = lambda xy: jnp.zeros(xy.shape[:-1])
 
   def n_fn(xy):
-    # up-vector built from a 2D iota: array literals become captured
-    # constants (rejected by pallas_call) and scatters/gathers don't lower
     shape = xy.shape[:-1] + (3,)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
     return (col == 2).astype(xy.dtype)
@@ -53,118 +89,147 @@ def _window_math(model: Model, rs: a1.RobotState, command, dyn,
   cfn = contact_lib.make_terrain_contact_fn(
       h_fn, n_fn, boxes=boxes, friction=friction, box_friction=friction)
   model_d = a1.apply_dynamics(model, dyn)
+  prev = rs.last_robot_action
 
-  def body(_, carry):
-    rs, _last_pen = carry
-    tau = a1.motor_torques(rs.phys.joint_q, rs.phys.joint_qd, command, dyn)
+  def body(i, carry):
+    rs, pen_max = carry
+    if interpolate:
+      lerp = (i.astype(jnp.float32) + 1.0) / n_substeps
+      cmd = prev + lerp * (command - prev)
+    else:
+      cmd = command
+    tau = a1.motor_torques(rs.phys.joint_q, rs.phys.joint_qd, cmd, dyn)
     phys, pen, _ = engine.step(model_d, rs.phys, tau, cfn, solver="cg")
     hist = jnp.concatenate([a1._true_record(phys)[None], rs.obs_hist[:-1]],
                            axis=0)
-    return rs.replace(phys=phys, obs_hist=hist, observed_torques=tau,
-                      step_counter=rs.step_counter + 1), pen
+    rs = rs.replace(phys=phys, obs_hist=hist, observed_torques=tau,
+                    step_counter=rs.step_counter + 1)
+    return rs, jnp.maximum(pen_max, pen)
 
-  # fori_loop carrying only the last penetration: Mosaic rejects scans
-  # with stacked outputs, and only pen[-1] is consumed downstream
-  pen0 = jnp.zeros((model.ncp, 2))
-  rs, pen = jax.lax.fori_loop(0, n_substeps, body, (rs, pen0))
-  return rs, pen
-
-
-def _flatten_rs(rs: a1.RobotState):
-  leaves, treedef = jax.tree_util.tree_flatten(rs)
-  return leaves, treedef
+  pen0 = jnp.full((model.ncp, 2), -jnp.inf)
+  rs, pen_max = jax.lax.fori_loop(0, n_substeps, body, (rs, pen0))
+  rs = rs.replace(last_robot_action=command)
+  return rs, pen_max > 0.0
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+@functools.partial(jax.jit, static_argnums=(6, 7))
 def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
-                        boxes, friction, n_substeps: int
+                        boxes, friction, n_substeps: int,
+                        interpolate: bool = False
                         ) -> Tuple[a1.RobotState, jnp.ndarray]:
-  """Batched robot_step window. rs/command/dyn/boxes/friction carry a
-  leading env axis; returns (new RobotState, last-substep penetration).
+  """Batched a1.robot_step window (flat ground + per-env pruned boxes).
 
-  Uses the Pallas mega-kernel on TPU when the env count divides TILE_E;
-  otherwise the identical math runs as vmapped XLA.
+  rs/command/dyn/boxes/friction carry a leading env axis; returns
+  (new RobotState, contact_any (E, P, 2) bool — any-substep contact per
+  collision point, [ground, obstacle] like the engine's pen stack).
+
+  Uses the env-last Pallas mega-kernel on TPU when the env count divides
+  TILE_E; otherwise the identical math runs as vmapped XLA.
   """
   E = command.shape[0]
 
-  def vmapped(rs, command, dyn, boxes, friction):
-    return jax.vmap(
-        lambda r, c, d, b, f: _window_math(model, r, c, d, b, f,
-                                           n_substeps))(
-            rs, command, dyn, boxes, friction)
-
   if (not HAS_PALLAS or jax.default_backend() not in ("tpu",)
       or E % TILE_E != 0):
-    return vmapped(rs, command, dyn, boxes, friction)
+    new_rs, contact = jax.vmap(
+        lambda r, c, d, b, f: _window_math(model, r, c, d, b, f,
+                                           n_substeps, interpolate))(
+            rs, command, dyn, boxes, friction)
+    return new_rs, contact
 
-  rs_leaves, rs_def = jax.tree_util.tree_flatten(rs)
-  dyn_leaves, dyn_def = jax.tree_util.tree_flatten(dyn)
+  rs_el = _rs_to_envlast(rs)
+  dyn_el = _dyn_to_envlast(dyn)
+  T = E // TILE_E
+
+  def to_tiles(x):
+    """(..., E) -> (T, ..., TILE_E): the tile index becomes a LEADING grid
+    dim — blocking the lane (minormost) axis itself crashes Mosaic.  1D
+    (E,) leaves gain a singleton axis so the tile dim stays out of the
+    last-two window (whose block dims must equal the array dims)."""
+    x = x.reshape(x.shape[:-1] + (T, TILE_E))
+    x = jnp.moveaxis(x, -2, 0)
+    if x.ndim == 2:
+      x = x[:, None, :]
+    return x
+
+  def from_tiles(x, was_1d=False):
+    if was_1d:
+      x = x[:, 0, :]
+    x = jnp.moveaxis(x, 0, -2)
+    return x.reshape(x.shape[:-2] + (E,))
+
+  rs_1d = tuple(rs_el[k].ndim == 1 for k in RS_KEYS)
+  dyn_1d = tuple(dyn_el[k].ndim == 1 for k in DYN_KEYS)
+  rs_leaves = [to_tiles(rs_el[k]) for k in RS_KEYS]
+  dyn_leaves = [to_tiles(dyn_el[k]) for k in DYN_KEYS]
   mdl_leaves, mdl_def = jax.tree_util.tree_flatten(model)
-  n_rs = len(rs_leaves)
-  n_dyn = len(dyn_leaves)
-  n_mdl = len(mdl_leaves)
-  pen_shape = (E, model.ncp, 2)
-  n_in = n_rs + n_dyn + n_mdl + 3
+  n_rs, n_dyn, n_mdl = len(rs_leaves), len(dyn_leaves), len(mdl_leaves)
+  n_in = n_rs + 1 + n_dyn + n_mdl + 2
+  cmd_el = to_tiles(jnp.moveaxis(command, 0, -1))
+  boxes_el = to_tiles(jnp.moveaxis(boxes, 0, -1))
+  fric_el = to_tiles(jnp.asarray(friction))
 
   def kernel(*refs):
     ins = refs[:n_in]
     outs = refs[n_in:]
     pos = 0
-    rs_t = jax.tree_util.tree_unflatten(
-        rs_def, [r[:] for r in ins[pos: pos + n_rs]])
+    rs_t = {k: (ins[pos + i][0, 0] if rs_1d[i] else ins[pos + i][0])
+            for i, k in enumerate(RS_KEYS)}
     pos += n_rs
-    cmd = ins[pos][:]
+    cmd = ins[pos][0]
     pos += 1
-    dyn_t = jax.tree_util.tree_unflatten(
-        dyn_def, [r[:] for r in ins[pos: pos + n_dyn]])
+    dyn_t = {k: (ins[pos + i][0, 0] if dyn_1d[i] else ins[pos + i][0])
+             for i, k in enumerate(DYN_KEYS)}
     pos += n_dyn
-    # the model must enter as kernel inputs: Pallas kernels may not
-    # capture array constants
+    # model arrays must enter as kernel inputs: Pallas kernels may not
+    # capture non-scalar constants
     mdl = jax.tree_util.tree_unflatten(
         mdl_def, [r[:] for r in ins[pos: pos + n_mdl]])
     pos += n_mdl
-    bxs = ins[pos][:]
-    fric = ins[pos + 1][:]
-    new_rs, pen = jax.vmap(
-        lambda r, c, d, b, f: _window_math(mdl, r, c, d, b, f,
-                                           n_substeps))(
-            rs_t, cmd, dyn_t, bxs, fric)
-    new_leaves = jax.tree_util.tree_leaves(new_rs)
-    for o, v in zip(outs[:-1], new_leaves):
-      o[:] = v.astype(o.dtype)
-    outs[-1][:] = pen
+    bxs = ins[pos][0]
+    fric = ins[pos + 1][0, 0]
+    new_rs, contact = pe.window(mdl, rs_t, cmd, dyn_t, bxs, fric,
+                                n_substeps, interpolate)
+    for o, k, one_d in zip(outs[:-1], RS_KEYS, rs_1d):
+      v = new_rs[k].astype(o.dtype)
+      o[:] = v[None, None] if one_d else v[None]
+    # i1 vectors don't store to VMEM reliably; carry flags as f32
+    outs[-1][:] = contact.astype(jnp.float32)[None]
 
-  grid = (E // TILE_E,)
+  grid = (T,)
 
-  def spec(x):
-    blk = (TILE_E,) + x.shape[1:]
+  def tspec(x):
+    """One tile per grid step along the leading tile axis."""
     nd = x.ndim
+    blk = (1,) + x.shape[1:]
     return pl.BlockSpec(blk, lambda i, nd=nd: (i,) + (0,) * (nd - 1),
                         memory_space=pltpu.VMEM)
 
-  def full_spec(x):
+  def fspec(x):
     nd = x.ndim
     return pl.BlockSpec(x.shape, lambda i, nd=nd: (0,) * nd,
                         memory_space=pltpu.VMEM)
 
-  in_arrays = (rs_leaves + [command] + dyn_leaves + mdl_leaves
-               + [boxes, friction])
-  in_specs = ([spec(x) for x in rs_leaves] + [spec(command)]
-              + [spec(x) for x in dyn_leaves]
-              + [full_spec(x) for x in mdl_leaves]
-              + [spec(boxes), spec(friction)])
-  out_shapes = ([jax.ShapeDtypeStruct(x.shape, x.dtype)
-                 for x in rs_leaves]
-                + [jax.ShapeDtypeStruct(pen_shape, jnp.float32)])
-  out_specs = ([spec(x) for x in rs_leaves]
-               + [spec(jnp.zeros(pen_shape))])
+  in_arrays = (rs_leaves + [cmd_el] + dyn_leaves + mdl_leaves
+               + [boxes_el, fric_el])
+  in_specs = ([tspec(x) for x in rs_leaves] + [tspec(cmd_el)]
+              + [tspec(x) for x in dyn_leaves]
+              + [fspec(x) for x in mdl_leaves]
+              + [tspec(boxes_el), tspec(fric_el)])
+  out_arrays = rs_leaves + [jnp.zeros((T, model.ncp, 2, TILE_E),
+                                      jnp.float32)]
+  out_shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
+                     for x in out_arrays)
+  out_specs = tuple(tspec(x) for x in out_arrays)
 
   outs = pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=in_specs,
-      out_specs=tuple(out_specs),
-      out_shape=tuple(out_shapes),
+      out_specs=out_specs,
+      out_shape=out_shapes,
   )(*in_arrays)
-  new_rs = jax.tree_util.tree_unflatten(rs_def, list(outs[:-1]))
-  return new_rs, outs[-1]
+  new_el = dict(zip(RS_KEYS, [from_tiles(o, one_d)
+                              for o, one_d in zip(outs[:-1], rs_1d)]))
+  new_rs = _rs_from_envlast(new_el)
+  contact = jnp.moveaxis(from_tiles(outs[-1]), -1, 0) > 0.5  # (E, P, 2)
+  return new_rs, contact
