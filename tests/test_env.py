@@ -133,3 +133,34 @@ def test_vmapped_reset_step():
   obs, rew, done = run(jax.random.split(jax.random.PRNGKey(3), 4))
   assert obs.shape == (4, 84)
   assert rew.shape == (4,)
+
+
+def test_step_batch_matches_vmapped_step():
+  """env.step_batch (the Pallas-kernel integration point) must be
+  semantically identical to jax.vmap(env.step) — state, obs, reward and
+  termination — on a box terrain with domain randomization."""
+  cfg = EnvConfig(**{**STATE_CFG.__dict__,
+                     "terrain_type": "random_blocks_sparse_thin_wide",
+                     "domain_randomization": True})
+  env = A1GymEnv(cfg)
+  assert env.kernel_capable
+  E = 4
+  keys = jax.random.split(jax.random.PRNGKey(7), E)
+
+  @jax.jit
+  def run(keys):
+    states, _ = jax.vmap(env.reset)(keys)
+    acts = jnp.tile(jnp.asarray(P.INIT_MOTOR_ANGLES[:6], jnp.float32),
+                    (E, 1)) * 0.1
+    out_a = jax.vmap(env.step)(states, acts)
+    out_b = env.step_batch(states, acts)
+    return out_a, out_b
+
+  (sa, oa, ra, da, _), (sb, ob, rb, db, _) = run(keys)
+  np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-4)
+  np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=1e-4)
+  np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+  np.testing.assert_allclose(np.asarray(sa.robot.phys.pos),
+                             np.asarray(sb.robot.phys.pos), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(sa.robot.obs_hist),
+                             np.asarray(sb.robot.obs_hist), atol=2e-4)

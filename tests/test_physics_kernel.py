@@ -53,8 +53,12 @@ def _stepwise_reference(model, rs1, dyn1, cmd, boxes1):
           [a1._true_record(phys)[None], rs.obs_hist[:-1]], axis=0)
       return rs.replace(phys=phys, obs_hist=hist, observed_torques=tau,
                         step_counter=rs.step_counter + 1), pen
-    rs, pens = jax.lax.scan(body, rs, None, length=16)
-    return rs, jnp.max(pens, axis=0) > 0.0
+    rs, _ = jax.lax.scan(body, rs, None, length=16)
+    # post-window contact read (what env.step / the kernel report)
+    kin = engine.fwd_kinematics(model_d, rs.phys)
+    cpos, cvel, _ = engine.contact_points_world(model_d, rs.phys, kin)
+    _, pen_end = cfn(cpos, cvel, model.cp_radius)
+    return rs, pen_end
 
   return run(rs1)
 
@@ -63,16 +67,16 @@ def test_window_matches_stepwise():
   """The public entry (vmapped-XLA fallback on CPU) must equal the
   stepwise robot_step semantics, including window-wide contact flags."""
   model, rs1, rs, dyn1, dyn, cmd, boxes, fric = _setup(4)
-  new_rs, contact_any = robot_window_pallas(model, rs, cmd[0][None].repeat(
-      4, 0), dyn, boxes, fric, 16)
-  ref_rs, ref_contact = _stepwise_reference(model, rs1, dyn1, cmd[0],
-                                            boxes[0])
+  new_rs, pen_end = robot_window_pallas(model, rs, cmd[0][None].repeat(
+      4, 0), dyn, boxes, fric, fric, 16)
+  ref_rs, ref_pen = _stepwise_reference(model, rs1, dyn1, cmd[0],
+                                        boxes[0])
   np.testing.assert_allclose(np.asarray(new_rs.phys.pos[0]),
                              np.asarray(ref_rs.phys.pos), atol=1e-5)
   np.testing.assert_allclose(np.asarray(new_rs.phys.joint_q[0]),
                              np.asarray(ref_rs.phys.joint_q), atol=1e-5)
-  np.testing.assert_array_equal(np.asarray(contact_any[0]),
-                                np.asarray(ref_contact))
+  np.testing.assert_allclose(np.asarray(pen_end[0]), np.asarray(ref_pen),
+                             atol=1e-5)
   # all tiled envs identical
   np.testing.assert_allclose(np.asarray(new_rs.phys.pos[1]),
                              np.asarray(new_rs.phys.pos[0]), atol=1e-6)
@@ -86,11 +90,11 @@ def test_envlast_window_matches_stepwise():
   dyn_el = _dyn_to_envlast(dyn)
   t = lambda x: jnp.moveaxis(x, 0, -1)
 
-  new_el, contact_el = jax.jit(
-      lambda r, c, d, b, f: pe.window(model, r, c, d, b, f, 16))(
+  new_el, pen_el = jax.jit(
+      lambda r, c, d, b, f: pe.window(model, r, c, d, b, f, f, 16))(
           rs_el, t(cmd), dyn_el, t(boxes), fric)
-  ref_rs, ref_contact = _stepwise_reference(model, rs1, dyn1, cmd[0],
-                                            boxes[0])
+  ref_rs, ref_pen = _stepwise_reference(model, rs1, dyn1, cmd[0],
+                                        boxes[0])
   np.testing.assert_allclose(np.asarray(new_el["pos"][:, 0]),
                              np.asarray(ref_rs.phys.pos), atol=1e-5)
   np.testing.assert_allclose(np.asarray(new_el["q"][:, 0]),
@@ -99,8 +103,8 @@ def test_envlast_window_matches_stepwise():
                              np.asarray(ref_rs.phys.joint_qd), atol=2e-4)
   np.testing.assert_allclose(np.asarray(new_el["hist"][..., 0]),
                              np.asarray(ref_rs.obs_hist), atol=2e-4)
-  np.testing.assert_array_equal(np.asarray(contact_el[..., 0]),
-                                np.asarray(ref_contact))
+  np.testing.assert_allclose(np.asarray(pen_el[..., 0]),
+                             np.asarray(ref_pen), atol=1e-4)
 
 
 def test_envlast_interpolation():
@@ -135,7 +139,7 @@ def test_envlast_interpolation():
   dyn_el = _dyn_to_envlast(dyn)
   t = lambda x: jnp.moveaxis(x, 0, -1)
   new_el, _ = jax.jit(
-      lambda r, c, d, b, f: pe.window(model, r, c, d, b, f, 16,
+      lambda r, c, d, b, f: pe.window(model, r, c, d, b, f, f, 16,
                                       interpolate=True))(
           rs_el, t(jnp.tile(target, (4, 1))), dyn_el, t(boxes), fric)
   np.testing.assert_allclose(np.asarray(new_el["pos"][:, 0]),

@@ -117,8 +117,15 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     env_act = jnp.tanh(act)
     env_act = action_low + (env_act + 1.0) * 0.5 * (action_high - action_low)
 
-    env_states, next_raw, rew, done, _ = jax.vmap(env.step)(
-        cs.env_states, env_act)
+    # step_batch lets the env run the action-repeat physics window as one
+    # Pallas kernel over all envs (ops/physics_kernel.py) instead of
+    # vmapped per-env XLA; envs without it get the plain vmap
+    if hasattr(env, "step_batch"):
+      env_states, next_raw, rew, done, _ = env.step_batch(
+          cs.env_states, env_act)
+    else:
+      env_states, next_raw, rew, done, _ = jax.vmap(env.step)(
+          cs.env_states, env_act)
     ep_steps = cs.ep_steps + 1
     # gym TimeLimit at the env horizon (get_env.py:79-84): done=True with
     # info['time_limit']; with the shipped configs (horizon 1000 >

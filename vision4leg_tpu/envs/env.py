@@ -32,6 +32,7 @@ from flax import struct
 
 from vision4leg_tpu.envs import camera as cam
 from vision4leg_tpu.envs import dynamics_rando, tasks, terrain as terr
+from vision4leg_tpu.ops import physics_kernel
 from vision4leg_tpu.physics import contact, engine, maths
 from vision4leg_tpu.robots import a1, a1_model, a1_params as P
 from vision4leg_tpu.robots import action_filter
@@ -397,9 +398,11 @@ class A1GymEnv:
     return jnp.concatenate(parts).astype(jnp.float32)
 
   # ------------------------------------------------------------------
-  def step(self, state: EnvState,
-           action: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray,
-                                         jnp.ndarray, dict]:
+  def _step_pre(self, state: EnvState, action: jnp.ndarray):
+    """Everything before the physics window: action filter/expand, key
+    split, moving-obstacle update.  Returns (state, act12, terrain,
+    k_frame) so the window itself can be swapped for the batched Pallas
+    kernel (step_batch)."""
     cfg = self.cfg
     act12 = self._expand_action(action)
     if cfg.enable_action_filter:  # minitaur.Step:277-279 _FilterAction
@@ -414,6 +417,13 @@ class A1GymEnv:
     if cfg.moving:  # randomize_step (a1_randomizer_ground.py:411-443)
       terrain = terr.moving_blocks_step(
           terrain, state.step_counter, k_move, terr.NUM_SPARSE_BLOCKS)
+    return state, act12, terrain, k_frame
+
+  def step(self, state: EnvState,
+           action: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray, dict]:
+    cfg = self.cfg
+    state, act12, terrain, k_frame = self._step_pre(state, action)
 
     contact_fn = self._contact_fn(terrain, state.dyn,
                                   base_xy=state.robot.phys.pos[:2])
@@ -427,6 +437,12 @@ class A1GymEnv:
     kin = engine.fwd_kinematics(self.model, rs.phys)
     cpos, cvel, _ = engine.contact_points_world(self.model, rs.phys, kin)
     _, pen = contact_fn(cpos, cvel, self.model.cp_radius)
+    return self._step_post(state, rs, terrain, act12, k_frame, pen)
+
+  def _step_post(self, state: EnvState, rs, terrain, act12, k_frame, pen):
+    """Everything after the physics window: contact classification,
+    sensors, task reward/termination, image capture, observation."""
+    cfg = self.cfg
     ground_pen, box_pen = pen[..., 0], pen[..., 1]
     nonfoot_ground = jnp.any((ground_pen > 0)
                              & (self.model.cp_is_foot < 0.5))
@@ -477,6 +493,41 @@ class A1GymEnv:
     obs = self._observation(state)
     info = {"subgoals_hit": jnp.sum(1.0 - trackers)}
     return state, obs, rew, is_done, info
+
+  # ------------------------------------------------------------------
+  @property
+  def kernel_capable(self) -> bool:
+    """True when the batched Pallas physics window can replace the
+    per-env robot_step: flat ground at z=0 and box-only obstacles (the
+    kernel's contact model; sphere obstacles still take the XLA path)."""
+    return (self._flat
+            and self.cfg.terrain_type != "random_sphere_with_subgoal")
+
+  def step_batch(self, states: EnvState, actions: jnp.ndarray):
+    """Batched env step (leading env axis on every leaf).
+
+    Semantically identical to jax.vmap(self.step) — the rollout collector
+    calls this instead so the action-repeat physics window can run as ONE
+    Pallas TPU kernel over all envs (ops/physics_kernel.py) rather than
+    ~300 tiny vmapped XLA ops per substep.  Non-flat terrains fall back
+    to the vmapped per-env step.
+    """
+    if not self.kernel_capable:
+      return jax.vmap(self.step)(states, actions)
+    cfg = self.cfg
+    states, act12, terrains, k_frames = jax.vmap(self._step_pre)(
+        states, actions)
+    boxes = jax.vmap(self._pruned_boxes)(
+        terrains.boxes, states.robot.phys.pos[:, :2])
+    fric_ground = states.dyn.lateral_friction * cfg.fric_coeff[0]
+    fric_box = states.dyn.lateral_friction
+    rs, pen = physics_kernel.robot_window_pallas(
+        self.model, states.robot, act12, states.dyn, boxes,
+        fric_ground, fric_box,
+        cfg.num_action_repeat * cfg.substeps,
+        cfg.enable_action_interpolation)
+    return jax.vmap(self._step_post)(states, rs, terrains, act12,
+                                     k_frames, pen)
 
   def _task_cfg(self) -> tasks.TaskConfig:
     cfg = self.cfg

@@ -314,7 +314,7 @@ def _contact_force(phi, normal, vel, friction):
   return f_n[..., None, :] * normal + f_t
 
 
-def _box_forces(pos, vel, radius, boxes, friction):
+def _box_forces(pos, vel, radius, boxes, friction):  # noqa: D401
   """pos/vel (P,3,E), radius (P,), boxes (K,8,E) [c3,h3,yaw,valid]."""
   c = boxes[:, 0:3]                                         # (K,3,E)
   half = boxes[:, 3:6]
@@ -358,14 +358,18 @@ def _box_forces(pos, vel, radius, boxes, friction):
   return jnp.sum(f, axis=1), jnp.max(phi, axis=1)           # (P,3,E),(P,E)
 
 
-def flat_contact(model: Model, pos, vel, boxes, friction):
-  """Flat-ground + pruned-box contact. Returns force (P,3,E), pen (P,2,E)."""
+def flat_contact(model: Model, pos, vel, boxes, fric_ground, fric_box):
+  """Flat-ground + pruned-box contact. Returns force (P,3,E), pen (P,2,E).
+
+  Two friction coefficients mirror the env's contact builder
+  (envs/env.py _contact_fn): ground = lateral_friction * fric_coeff[0],
+  boxes = lateral_friction."""
   radius = model.cp_radius                                  # (P,)
   phi = radius[:, None] - pos[:, 2]                         # (P,E)
   up = jnp.stack([jnp.zeros_like(phi), jnp.zeros_like(phi),
                   jnp.ones_like(phi)], axis=1)              # (P,3,E)
-  force = _contact_force(phi, up, vel, friction)
-  fb, phib = _box_forces(pos, vel, radius, boxes, friction)
+  force = _contact_force(phi, up, vel, fric_ground)
+  fb, phib = _box_forces(pos, vel, radius, boxes, fric_box)
   return force + fb, jnp.stack([phi, phib], axis=1)         # (P,2,E)
 
 
@@ -416,15 +420,28 @@ def motor_torques(q, qd, commands, kp, kd, strength):
   return strength * (-kp * (q - commands) - kd * qd)
 
 
+def end_contact_pen(model: Model, st: Dict[str, jnp.ndarray], boxes,
+                    fric_ground, fric_box) -> jnp.ndarray:
+  """Contact penetration (P,2,E) of the CURRENT state — the env reads
+  post-window contact (pybullet getContactPoints reads the post-step
+  world, envs/env.py step)."""
+  kin = fk(model, st["pos"], st["quat"], st["q"])
+  cpos, cvel, _ = contact_points(model, kin, st["ang"], st["lin"],
+                                 st["qd"])
+  _, pen = flat_contact(model, cpos, cvel, boxes, fric_ground, fric_box)
+  return pen
+
+
 def substep(model: Model, st: Dict[str, jnp.ndarray], tau_j,
-            mass_e, inertia_e, damping_e, coulomb_e, boxes, fric):
+            mass_e, inertia_e, damping_e, coulomb_e, boxes,
+            fric_ground, fric_box):
   """One env-last physics substep (engine.fwd_dynamics + integrate)."""
   kin = fk(model, st["pos"], st["quat"], st["q"])
   M, h = mass_and_bias(model, kin, st["ang"], st["lin"], st["qd"],
                        mass_e, inertia_e)
   cpos, cvel, Jp = contact_points(model, kin, st["ang"], st["lin"],
                                   st["qd"])
-  f_c, pen = flat_contact(model, cpos, cvel, boxes, fric)
+  f_c, pen = flat_contact(model, cpos, cvel, boxes, fric_ground, fric_box)
   tau_c = jnp.sum(Jp * f_c[:, :, None, :], axis=(0, 1))     # (nv,E)
   tau_full = (tau_j + joint_limit_torque(model, st["q"], st["qd"])
               - damping_e * st["qd"]
@@ -448,18 +465,20 @@ def substep(model: Model, st: Dict[str, jnp.ndarray], tau_j,
 
 
 def window(model: Model, rs: Dict[str, jnp.ndarray], action,
-           dyn: Dict[str, jnp.ndarray], boxes, fric,
+           dyn: Dict[str, jnp.ndarray], boxes, fric_ground, fric_box,
            n_substeps: int, interpolate: bool = False
            ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-  """Full action-repeat window, env-last (a1.robot_step equivalent).
+  """Full action-repeat window, env-last (a1.robot_step + the env's
+  post-window contact read, fused).
 
   rs: pos(3,E) quat(4,E) q(12,E) ang(3,E) lin(3,E) qd(12,E)
       hist(20,31,E) obs_tau(12,E) last_action(12,E) counter(E,)
   action (12,E) motor commands; dyn: kp/kd/strength (12,E),
   motor_friction/joint_friction (E,), mass_scale/inertia_scale (B,E).
-  boxes (K,8,E); fric (E,).
-  Returns (new rs, contact_any (P,2,E) bool: any-substep penetration>0,
-  matching a1.robot_step's window-wide contact flags).
+  boxes (K,8,E); fric_ground/fric_box (E,).
+  Returns (new rs, pen_end (P,2,E): [ground, obstacle] penetration of the
+  post-window state — what envs/env.py step() feeds the contact-based
+  termination).
   """
   mass_e = model.mass[:, None] * dyn["mass_scale"]          # (B,E)
   inertia_e = (model.inertia[..., None]
@@ -469,12 +488,9 @@ def window(model: Model, rs: Dict[str, jnp.ndarray], action,
   prev = rs["last_action"]
 
   st0 = {k: rs[k] for k in ("pos", "quat", "q", "ang", "lin", "qd")}
-  P = model.ncp
-  E = action.shape[-1]
-  pen0 = jnp.full((P, 2, E), -jnp.inf)
 
   def body(i, carry):
-    st, hist, obs_tau, pen_max = carry
+    st, hist, obs_tau = carry
     if interpolate:
       lerp = (i.astype(jnp.float32) + 1.0) / n_substeps
       cmd = prev + lerp * (action - prev)
@@ -482,15 +498,16 @@ def window(model: Model, rs: Dict[str, jnp.ndarray], action,
       cmd = action
     tau = motor_torques(st["q"], st["qd"], cmd, dyn["kp"], dyn["kd"],
                         dyn["strength"])
-    st, pen = substep(model, st, tau, mass_e, inertia_e, damping_e,
-                      coulomb_e, boxes, fric)
+    st, _ = substep(model, st, tau, mass_e, inertia_e, damping_e,
+                    coulomb_e, boxes, fric_ground, fric_box)
     rec = jnp.concatenate([st["q"], st["qd"], st["quat"], st["ang"]],
                           axis=0)                           # (31,E)
     hist = jnp.concatenate([rec[None], hist[:-1]], axis=0)
-    return st, hist, tau, jnp.maximum(pen_max, pen)
+    return st, hist, tau
 
-  st, hist, obs_tau, pen_max = jax.lax.fori_loop(
-      0, n_substeps, body, (st0, rs["hist"], rs["obs_tau"], pen0))
+  st, hist, obs_tau = jax.lax.fori_loop(
+      0, n_substeps, body, (st0, rs["hist"], rs["obs_tau"]))
+  pen_end = end_contact_pen(model, st, boxes, fric_ground, fric_box)
   new_rs = dict(st, hist=hist, obs_tau=obs_tau, last_action=action,
                 counter=rs["counter"] + n_substeps)
-  return new_rs, pen_max > 0.0
+  return new_rs, pen_end

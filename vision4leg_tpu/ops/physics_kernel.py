@@ -75,10 +75,11 @@ def _dyn_to_envlast(dyn: a1.DynamicsParams) -> dict:
 
 
 def _window_math(model: Model, rs: a1.RobotState, command, dyn,
-                 boxes, friction, n_substeps: int, interpolate: bool):
+                 boxes, fric_ground, fric_box, n_substeps: int,
+                 interpolate: bool):
   """One env's full action-repeat window — env-first XLA fallback with
-  semantics identical to a1.robot_step (flat ground + pruned boxes,
-  CG solver, window-wide contact flags)."""
+  semantics identical to a1.robot_step followed by the env's post-window
+  contact read (flat ground + pruned boxes, CG solver)."""
   h_fn = lambda xy: jnp.zeros(xy.shape[:-1])
 
   def n_fn(xy):
@@ -87,41 +88,43 @@ def _window_math(model: Model, rs: a1.RobotState, command, dyn,
     return (col == 2).astype(xy.dtype)
 
   cfn = contact_lib.make_terrain_contact_fn(
-      h_fn, n_fn, boxes=boxes, friction=friction, box_friction=friction)
+      h_fn, n_fn, boxes=boxes, friction=fric_ground, box_friction=fric_box)
   model_d = a1.apply_dynamics(model, dyn)
   prev = rs.last_robot_action
 
-  def body(i, carry):
-    rs, pen_max = carry
+  def body(i, rs):
     if interpolate:
       lerp = (i.astype(jnp.float32) + 1.0) / n_substeps
       cmd = prev + lerp * (command - prev)
     else:
       cmd = command
     tau = a1.motor_torques(rs.phys.joint_q, rs.phys.joint_qd, cmd, dyn)
-    phys, pen, _ = engine.step(model_d, rs.phys, tau, cfn, solver="cg")
+    phys, _, _ = engine.step(model_d, rs.phys, tau, cfn, solver="cg")
     hist = jnp.concatenate([a1._true_record(phys)[None], rs.obs_hist[:-1]],
                            axis=0)
-    rs = rs.replace(phys=phys, obs_hist=hist, observed_torques=tau,
-                    step_counter=rs.step_counter + 1)
-    return rs, jnp.maximum(pen_max, pen)
+    return rs.replace(phys=phys, obs_hist=hist, observed_torques=tau,
+                      step_counter=rs.step_counter + 1)
 
-  pen0 = jnp.full((model.ncp, 2), -jnp.inf)
-  rs, pen_max = jax.lax.fori_loop(0, n_substeps, body, (rs, pen0))
+  rs = jax.lax.fori_loop(0, n_substeps, body, rs)
   rs = rs.replace(last_robot_action=command)
-  return rs, pen_max > 0.0
+  # post-window contact state (pybullet getContactPoints semantics)
+  kin = engine.fwd_kinematics(model_d, rs.phys)
+  cpos, cvel, _ = engine.contact_points_world(model_d, rs.phys, kin)
+  _, pen_end = cfn(cpos, cvel, model.cp_radius)
+  return rs, pen_end
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
+@functools.partial(jax.jit, static_argnums=(7, 8))
 def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
-                        boxes, friction, n_substeps: int,
+                        boxes, fric_ground, fric_box, n_substeps: int,
                         interpolate: bool = False
                         ) -> Tuple[a1.RobotState, jnp.ndarray]:
-  """Batched a1.robot_step window (flat ground + per-env pruned boxes).
+  """Batched a1.robot_step window + post-window contact read (flat
+  ground + per-env pruned boxes).
 
-  rs/command/dyn/boxes/friction carry a leading env axis; returns
-  (new RobotState, contact_any (E, P, 2) bool — any-substep contact per
-  collision point, [ground, obstacle] like the engine's pen stack).
+  rs/command/dyn/boxes/fric_* carry a leading env axis; returns
+  (new RobotState, pen_end (E, P, 2) — [ground, obstacle] penetration of
+  the post-window state, the contact input of tasks.done).
 
   Uses the env-last Pallas mega-kernel on TPU when the env count divides
   TILE_E; otherwise the identical math runs as vmapped XLA.
@@ -130,11 +133,11 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
 
   if (not HAS_PALLAS or jax.default_backend() not in ("tpu",)
       or E % TILE_E != 0):
-    new_rs, contact = jax.vmap(
-        lambda r, c, d, b, f: _window_math(model, r, c, d, b, f,
-                                           n_substeps, interpolate))(
-            rs, command, dyn, boxes, friction)
-    return new_rs, contact
+    new_rs, pen_end = jax.vmap(
+        lambda r, c, d, b, fg, fb: _window_math(model, r, c, d, b, fg, fb,
+                                                n_substeps, interpolate))(
+            rs, command, dyn, boxes, fric_ground, fric_box)
+    return new_rs, pen_end
 
   rs_el = _rs_to_envlast(rs)
   dyn_el = _dyn_to_envlast(dyn)
@@ -163,10 +166,11 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   dyn_leaves = [to_tiles(dyn_el[k]) for k in DYN_KEYS]
   mdl_leaves, mdl_def = jax.tree_util.tree_flatten(model)
   n_rs, n_dyn, n_mdl = len(rs_leaves), len(dyn_leaves), len(mdl_leaves)
-  n_in = n_rs + 1 + n_dyn + n_mdl + 2
+  n_in = n_rs + 1 + n_dyn + n_mdl + 3
   cmd_el = to_tiles(jnp.moveaxis(command, 0, -1))
   boxes_el = to_tiles(jnp.moveaxis(boxes, 0, -1))
-  fric_el = to_tiles(jnp.asarray(friction))
+  fg_el = to_tiles(jnp.asarray(fric_ground))
+  fb_el = to_tiles(jnp.asarray(fric_box))
 
   def kernel(*refs):
     ins = refs[:n_in]
@@ -186,14 +190,14 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
         mdl_def, [r[:] for r in ins[pos: pos + n_mdl]])
     pos += n_mdl
     bxs = ins[pos][0]
-    fric = ins[pos + 1][0, 0]
-    new_rs, contact = pe.window(mdl, rs_t, cmd, dyn_t, bxs, fric,
+    fg = ins[pos + 1][0, 0]
+    fb = ins[pos + 2][0, 0]
+    new_rs, pen_end = pe.window(mdl, rs_t, cmd, dyn_t, bxs, fg, fb,
                                 n_substeps, interpolate)
     for o, k, one_d in zip(outs[:-1], RS_KEYS, rs_1d):
       v = new_rs[k].astype(o.dtype)
       o[:] = v[None, None] if one_d else v[None]
-    # i1 vectors don't store to VMEM reliably; carry flags as f32
-    outs[-1][:] = contact.astype(jnp.float32)[None]
+    outs[-1][:] = pen_end[None]
 
   grid = (T,)
 
@@ -210,11 +214,11 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
                         memory_space=pltpu.VMEM)
 
   in_arrays = (rs_leaves + [cmd_el] + dyn_leaves + mdl_leaves
-               + [boxes_el, fric_el])
+               + [boxes_el, fg_el, fb_el])
   in_specs = ([tspec(x) for x in rs_leaves] + [tspec(cmd_el)]
               + [tspec(x) for x in dyn_leaves]
               + [fspec(x) for x in mdl_leaves]
-              + [tspec(boxes_el), tspec(fric_el)])
+              + [tspec(boxes_el), tspec(fg_el), tspec(fb_el)])
   out_arrays = rs_leaves + [jnp.zeros((T, model.ncp, 2, TILE_E),
                                       jnp.float32)]
   out_shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
@@ -231,5 +235,5 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   new_el = dict(zip(RS_KEYS, [from_tiles(o, one_d)
                               for o, one_d in zip(outs[:-1], rs_1d)]))
   new_rs = _rs_from_envlast(new_el)
-  contact = jnp.moveaxis(from_tiles(outs[-1]), -1, 0) > 0.5  # (E, P, 2)
-  return new_rs, contact
+  pen_end = jnp.moveaxis(from_tiles(outs[-1]), -1, 0)        # (E, P, 2)
+  return new_rs, pen_end
