@@ -169,3 +169,66 @@ def test_native_mpc_matches_jax():
       jnp.zeros(3), jnp.zeros(3)))
   # both solvers approximate; agree to a few percent of body weight
   np.testing.assert_allclose(f_native, f_jax, atol=3.0)
+
+
+def test_static_gait_steps_and_stays_up():
+  """The static-gait state machine (COM shift + one-foot steps) must keep
+  the robot statically stable while completing forward foot steps
+  (ref: mpc_controller/static_gait_controller.py + foot_stepper.py)."""
+  import numpy as np
+  from vision4leg_tpu.envs import terrain as terr
+  from vision4leg_tpu.mpc import leg_kinematics as lk
+  from vision4leg_tpu.mpc.static_gait import StaticGaitController
+  from vision4leg_tpu.physics import contact, engine
+  from vision4leg_tpu.robots import a1, a1_model
+  from vision4leg_tpu.robots import a1_params as P
+
+  model = a1_model.build(dt=0.002)
+  ts = terr.gen_plane(jax.random.PRNGKey(0))
+  h, n = terr.flat_height_fn(ts)
+  cfn = contact.make_terrain_contact_fn(h, n, boxes=ts.boxes)
+  dyn = a1.default_dynamics(model)
+  model_d = a1.apply_dynamics(model, dyn)
+  init_q = jnp.asarray(np.array(P.INIT_MOTOR_ANGLES, np.float32))
+
+  @jax.jit
+  def settle(rs):
+    def body(rs, _):
+      rs, _ = a1.substep(model_d, rs, init_q, dyn, cfn)
+      return rs, None
+    return jax.lax.scan(body, rs, None, length=400)[0]
+
+  @jax.jit
+  def tick_physics(rs, cmd):
+    def body(rs, _):
+      rs, _ = a1.substep(model_d, rs, cmd, dyn, cfn)
+      return rs, None
+    return jax.lax.scan(body, rs, None, length=2)[0]  # 2 x 2ms = 1/250 s
+
+  phys = engine.zero_state(model).replace(
+      pos=jnp.array([0.0, 0.0, 0.27]), joint_q=init_q)
+  rs = settle(a1.init_robot_state(model, phys))
+
+  toe_ref = np.asarray(lk.foot_positions_base_frame(rs.phys.joint_q))
+  ctl = StaticGaitController(toe_ref, step_dist=0.08, dt=1.0 / 250)
+
+  @jax.jit
+  def toe_world(rs):
+    kin = engine.fwd_kinematics(model, rs.phys)
+    pos, _, _ = engine.contact_points_world(model, rs.phys, kin)
+    return pos[:4], rs.phys.pos, rs.phys.quat
+
+  zs, steps_started = [], 0
+  for t in range(1200):
+    toes, base, quat = toe_world(rs)
+    was_swinging = ctl.stepper.move_swing_foot
+    cmd = ctl.act(np.asarray(base), np.asarray(quat), np.asarray(toes))
+    if ctl.stepper.move_swing_foot and not was_swinging:
+      steps_started += 1
+    rs = tick_physics(rs, jnp.asarray(cmd))
+    if t % 50 == 0:
+      zs.append(float(rs.phys.pos[2]))
+
+  zs = np.array(zs)
+  assert np.all(zs > 0.15) and np.all(zs < 0.40), zs
+  assert steps_started >= 1, "no foot step was ever triggered"
