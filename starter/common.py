@@ -60,7 +60,7 @@ def run_experiment(build_module):
       gae=gs.get("gae", True),
       shuffle=ppo.get("shuffle", True),
       batch_size=gs.get("batch_size", 1024),
-      num_epochs=gs.get("num_epochs", 1500),
+      num_epochs=args.num_epochs or gs.get("num_epochs", 1500),
       epoch_frames=params["collector"].get("epoch_frames", 16384),
       max_episode_frames=params["collector"].get("max_episode_frames", 999),
       time_limit_filter=params["replay_buffer"].get("time_limit_filter",

@@ -18,6 +18,9 @@ def get_args():
                       help="number of parallel on-device envs "
                            "(TPU-native replacement for vec_env_nums x "
                            "proc_nums; defaults to vec_env_nums)")
+  parser.add_argument("--num_epochs", type=int, default=None,
+                      help="override general_setting.num_epochs (train "
+                           "length in epochs of epoch_frames each)")
   parser.add_argument("--vec_env_nums", type=int, default=1,
                       help="vector env numbers (reference flag)")
   parser.add_argument("--proc_nums", type=int, default=1,
