@@ -40,6 +40,10 @@ class PPOAgent:
     self.save_interval = save_interval
     self.obs_norm = obs_norm
     self.mesh = mesh
+    if mesh is not None and hasattr(env, "mesh"):
+      # the env's batched physics window shard_maps its Pallas kernel
+      # over this mesh (one kernel per shard; see envs/env.py step_batch)
+      env.mesh = mesh
     os.makedirs(save_dir, exist_ok=True)
 
     key = jax.random.PRNGKey(seed)

@@ -503,6 +503,11 @@ class A1GymEnv:
     return (self._flat
             and self.cfg.terrain_type != "random_sphere_with_subgoal")
 
+  # set by the agent when training over a multi-chip mesh: the physics
+  # window then runs one Pallas kernel PER SHARD via shard_map (GSPMD
+  # cannot partition a pallas_call by itself)
+  mesh = None
+
   def step_batch(self, states: EnvState, actions: jnp.ndarray):
     """Batched env step (leading env axis on every leaf).
 
@@ -521,11 +526,31 @@ class A1GymEnv:
         terrains.boxes, states.robot.phys.pos[:, :2])
     fric_ground = states.dyn.lateral_friction * cfg.fric_coeff[0]
     fric_box = states.dyn.lateral_friction
-    rs, pen = physics_kernel.robot_window_pallas(
-        self.model, states.robot, act12, states.dyn, boxes,
-        fric_ground, fric_box,
-        cfg.num_action_repeat * cfg.substeps,
-        cfg.enable_action_interpolation)
+
+    sharded = self.mesh is not None and len(self.mesh.devices.flat) > 1
+
+    def window(rs_in, act_in, dyn_in, boxes_in, fg_in, fb_in):
+      return physics_kernel.robot_window_pallas(
+          self.model, rs_in, act_in, dyn_in, boxes_in, fg_in, fb_in,
+          cfg.num_action_repeat * cfg.substeps,
+          cfg.enable_action_interpolation, force_kernel=sharded)
+
+    if sharded:
+      from jax.experimental.shard_map import shard_map
+      from jax.sharding import PartitionSpec as PS
+      axis = self.mesh.axis_names[0]
+      spec = PS(axis)
+      window = shard_map(
+          window, mesh=self.mesh,
+          in_specs=(jax.tree.map(lambda _: spec, states.robot),
+                    spec,
+                    jax.tree.map(lambda _: spec, states.dyn),
+                    spec, spec, spec),
+          out_specs=(jax.tree.map(lambda _: spec, states.robot), spec),
+          check_rep=False)
+
+    rs, pen = window(states.robot, act12, states.dyn, boxes,
+                     fric_ground, fric_box)
     return jax.vmap(self._step_post)(states, rs, terrains, act12,
                                      k_frames, pen)
 

@@ -114,10 +114,11 @@ def _window_math(model: Model, rs: a1.RobotState, command, dyn,
   return rs, pen_end
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
                         boxes, fric_ground, fric_box, n_substeps: int,
-                        interpolate: bool = False
+                        interpolate: bool = False,
+                        force_kernel: bool = False
                         ) -> Tuple[a1.RobotState, jnp.ndarray]:
   """Batched a1.robot_step window + post-window contact read (flat
   ground + per-env pruned boxes).
@@ -131,7 +132,12 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   """
   E = command.shape[0]
 
+  # multi-chip: GSPMD cannot partition a pallas_call over a sharded env
+  # axis.  env.step_batch wraps this call in shard_map (one kernel per
+  # shard, force_kernel=True); a bare multi-device call takes the
+  # vmapped-XLA window, which GSPMD shards cleanly.
   if (not HAS_PALLAS or jax.default_backend() not in ("tpu",)
+      or (jax.device_count() > 1 and not force_kernel)
       or E % TILE_E != 0):
     new_rs, pen_end = jax.vmap(
         lambda r, c, d, b, fg, fb: _window_math(model, r, c, d, b, fg, fb,
