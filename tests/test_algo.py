@@ -295,3 +295,50 @@ def test_host_collector_pendulum():
   ts, metrics = jax.jit(learner.update_per_epoch)(
       ts, traj, last_v, jax.random.PRNGKey(1))
   assert np.isfinite(float(metrics["Training/policy_loss"]))
+
+
+def test_checkpoint_roundtrip_box_terrain(tmp_path):
+  """save_checkpoint/restore_checkpoint must roundtrip on a box terrain —
+  its TerrainState carries zero-size leaves (obstacle_spheres (0,5)),
+  which orbax refuses unless padded (this exact failure killed a training
+  run at the first save_interval)."""
+  import numpy as np
+  from vision4leg_tpu.algo.agent import PPOAgent
+  from vision4leg_tpu.algo.ppo import PPOConfig
+  from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+  from vision4leg_tpu.models.actor_critic import StateActorCritic
+
+  env = A1GymEnv(EnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.05, 0.5, 0.5) * 4,
+      time_step_s=0.0025, num_action_repeat=4, add_last_action_input=True,
+      no_displacement=True, diagonal_act=True, alive_reward=-0.05,
+      terrain_type="random_blocks_sparse_thin_wide", settle_steps=20))
+  module = StateActorCritic(action_dim=6, hidden_shapes=(32,),
+                            append_hidden_shapes=(32,))
+  cfg = PPOConfig(plr=1e-4, vlr=1e-4, opt_epochs=1, batch_size=8,
+                  epoch_frames=16, max_episode_frames=8, num_epochs=1)
+
+  class _NullLogger:
+    work_dir = str(tmp_path)
+    def add_epoch_info(self, *a, **k): pass
+    def log(self, *a, **k): pass
+
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4, seed=0,
+                   logger=_NullLogger(), save_dir=str(tmp_path),
+                   obs_norm=True)
+  assert agent.collector_state.env_states.terrain.obstacle_spheres.size == 0
+  agent.save_checkpoint(epoch=3)
+
+  agent2 = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4, seed=1,
+                    logger=_NullLogger(), save_dir=str(tmp_path),
+                    obs_norm=True)
+  next_epoch = agent2.restore_checkpoint()
+  assert next_epoch == 4
+  np.testing.assert_array_equal(np.asarray(agent2.key),
+                                np.asarray(agent.key))
+  a = jax.tree.leaves(agent.train_state.params)
+  b = jax.tree.leaves(agent2.train_state.params)
+  for x, y in zip(a, b):
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+  assert (agent2.collector_state.env_states.terrain.obstacle_spheres.shape
+          == agent.collector_state.env_states.terrain.obstacle_spheres.shape)

@@ -23,6 +23,22 @@ from vision4leg_tpu.collector import rollout as rollout_lib
 from vision4leg_tpu.data import normalizer as norm
 
 
+def _pad_zero_size(x):
+  """Orbax cannot serialize zero-size arrays; pad the first zero axis to 1."""
+  if hasattr(x, "shape") and hasattr(x, "size") and x.size == 0:
+    shape = tuple(max(s, 1) for s in x.shape)
+    return jnp.zeros(shape, x.dtype)
+  return x
+
+
+def _unpad_zero_size(saved, template):
+  """Inverse of _pad_zero_size using the template's true shape."""
+  if (hasattr(template, "shape") and hasattr(template, "size")
+      and template.size == 0):
+    return jnp.zeros(template.shape, template.dtype)
+  return saved
+
+
 class PPOAgent:
   def __init__(self, env, ac_module, cfg: PPOConfig, num_envs: int,
                seed: int, logger, save_dir: str,
@@ -134,6 +150,10 @@ class PPOAgent:
             "epoch": epoch,
             "best_eval": self.best_eval,
             "total_frames": self.total_frames}
+    # orbax refuses zero-size arrays (e.g. terrain.obstacle_spheres (E,0,5)
+    # on box-only terrains): pad them to 1 along the zero axis on save and
+    # slice them back on restore using the template's shape
+    ckpt = jax.tree.map(_pad_zero_size, ckpt)
     with ocp.PyTreeCheckpointer() as ckptr:
       ckptr.save(path, ckpt, force=True)
 
@@ -150,7 +170,9 @@ class PPOAgent:
                 "best_eval": self.best_eval,
                 "total_frames": self.total_frames}
     with ocp.PyTreeCheckpointer() as ckptr:
-      ckpt = ckptr.restore(path, item=template)
+      ckpt = ckptr.restore(path, item=jax.tree.map(_pad_zero_size,
+                                                   template))
+    ckpt = jax.tree.map(_unpad_zero_size, ckpt, template)
     self.train_state = ckpt["train_state"]
     self.collector_state = ckpt["collector_state"]
     self.key = ckpt["key"]

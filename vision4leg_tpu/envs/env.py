@@ -198,6 +198,17 @@ class A1GymEnv:
     _, idx = jax.lax.top_k(-d, self.NEAR_BOXES)
     return boxes[idx]
 
+  def _pruned_spheres(self, spheres: jnp.ndarray,
+                      base_xy: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-K sphere obstacles by surface distance (same rationale as
+    _pruned_boxes)."""
+    if spheres.shape[0] <= self.NEAR_BOXES:
+      return spheres
+    d = (jnp.linalg.norm(base_xy[None] - spheres[:, :2], axis=-1)
+         - spheres[:, 3] + jnp.where(spheres[:, 4] > 0.5, 0.0, 1e9))
+    _, idx = jax.lax.top_k(-d, self.NEAR_BOXES)
+    return spheres[idx]
+
   # ------------------------------------------------------------------
   def _contact_fn(self, state_terrain, dyn, base_xy=None):
     h_fn, n_fn = terr.height_fns(state_terrain, self._flat)
@@ -498,10 +509,9 @@ class A1GymEnv:
   @property
   def kernel_capable(self) -> bool:
     """True when the batched Pallas physics window can replace the
-    per-env robot_step: flat ground at z=0 and box-only obstacles (the
-    kernel's contact model; sphere obstacles still take the XLA path)."""
-    return (self._flat
-            and self.cfg.terrain_type != "random_sphere_with_subgoal")
+    per-env robot_step: flat ground at z=0 with box and/or sphere
+    obstacles (the kernel's contact model)."""
+    return self._flat
 
   # set by the agent when training over a multi-chip mesh: the physics
   # window then runs one Pallas kernel PER SHARD via shard_map (GSPMD
@@ -524,15 +534,21 @@ class A1GymEnv:
         states, actions)
     boxes = jax.vmap(self._pruned_boxes)(
         terrains.boxes, states.robot.phys.pos[:, :2])
+    spheres = terrains.obstacle_spheres
+    if spheres is None:
+      spheres = jnp.zeros((boxes.shape[0], 0, 5))
+    else:
+      spheres = jax.vmap(self._pruned_spheres)(
+          spheres, states.robot.phys.pos[:, :2])
     fric_ground = states.dyn.lateral_friction * cfg.fric_coeff[0]
     fric_box = states.dyn.lateral_friction
 
     sharded = self.mesh is not None and len(self.mesh.devices.flat) > 1
 
-    def window(rs_in, act_in, dyn_in, boxes_in, fg_in, fb_in):
+    def window(rs_in, act_in, dyn_in, boxes_in, sph_in, fg_in, fb_in):
       return physics_kernel.robot_window_pallas(
-          self.model, rs_in, act_in, dyn_in, boxes_in, fg_in, fb_in,
-          cfg.num_action_repeat * cfg.substeps,
+          self.model, rs_in, act_in, dyn_in, boxes_in, sph_in, fg_in,
+          fb_in, cfg.num_action_repeat * cfg.substeps,
           cfg.enable_action_interpolation, force_kernel=sharded)
 
     if sharded:
@@ -545,11 +561,11 @@ class A1GymEnv:
           in_specs=(jax.tree.map(lambda _: spec, states.robot),
                     spec,
                     jax.tree.map(lambda _: spec, states.dyn),
-                    spec, spec, spec),
+                    spec, spec, spec, spec),
           out_specs=(jax.tree.map(lambda _: spec, states.robot), spec),
           check_rep=False)
 
-    rs, pen = window(states.robot, act12, states.dyn, boxes,
+    rs, pen = window(states.robot, act12, states.dyn, boxes, spheres,
                      fric_ground, fric_box)
     return jax.vmap(self._step_post)(states, rs, terrains, act12,
                                      k_frames, pen)

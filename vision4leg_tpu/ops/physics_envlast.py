@@ -358,18 +358,43 @@ def _box_forces(pos, vel, radius, boxes, friction):  # noqa: D401
   return jnp.sum(f, axis=1), jnp.max(phi, axis=1)           # (P,3,E),(P,E)
 
 
-def flat_contact(model: Model, pos, vel, boxes, fric_ground, fric_box):
-  """Flat-ground + pruned-box contact. Returns force (P,3,E), pen (P,2,E).
+def _sphere_forces(pos, vel, radius, spheres, friction):
+  """Contact of P collision spheres vs Q static obstacle spheres.
+
+  pos/vel (P,3,E); spheres (Q,5,E) = [center(3), r, valid].
+  Mirrors contact._sphere_sphere_forces, env-last."""
+  c = spheres[:, 0:3]                                       # (Q,3,E)
+  r = spheres[:, 3]                                         # (Q,E)
+  valid = spheres[:, 4]
+  d = pos[:, None] - c[None]                                # (P,Q,3,E)
+  dist = jnp.sqrt(jnp.sum(d * d, axis=2))                   # (P,Q,E)
+  Q = spheres.shape[0]
+  radq = jnp.broadcast_to(radius[:, None], (radius.shape[0], Q))[..., None]
+  phi = (radq + r[None]) - dist
+  phi = jnp.where(valid[None] > 0.5, phi, -1.0)
+  n = d / jnp.maximum(dist, 1e-9)[:, :, None]
+  f = _contact_force(phi, n, vel[:, None], friction)        # (P,Q,3,E)
+  return jnp.sum(f, axis=1), jnp.max(phi, axis=1)
+
+
+def flat_contact(model: Model, pos, vel, boxes, spheres,
+                 fric_ground, fric_box):
+  """Flat-ground + pruned-box/sphere contact.
+  Returns force (P,3,E), pen (P,2,E).
 
   Two friction coefficients mirror the env's contact builder
   (envs/env.py _contact_fn): ground = lateral_friction * fric_coeff[0],
-  boxes = lateral_friction."""
+  obstacles = lateral_friction."""
   radius = model.cp_radius                                  # (P,)
   phi = radius[:, None] - pos[:, 2]                         # (P,E)
   up = jnp.stack([jnp.zeros_like(phi), jnp.zeros_like(phi),
                   jnp.ones_like(phi)], axis=1)              # (P,3,E)
   force = _contact_force(phi, up, vel, fric_ground)
   fb, phib = _box_forces(pos, vel, radius, boxes, fric_box)
+  if spheres is not None and spheres.shape[0] > 0:
+    fs, phis = _sphere_forces(pos, vel, radius, spheres, fric_box)
+    fb = fb + fs
+    phib = jnp.maximum(phib, phis)
   return force + fb, jnp.stack([phi, phib], axis=1)         # (P,2,E)
 
 
@@ -421,19 +446,20 @@ def motor_torques(q, qd, commands, kp, kd, strength):
 
 
 def end_contact_pen(model: Model, st: Dict[str, jnp.ndarray], boxes,
-                    fric_ground, fric_box) -> jnp.ndarray:
+                    spheres, fric_ground, fric_box) -> jnp.ndarray:
   """Contact penetration (P,2,E) of the CURRENT state — the env reads
   post-window contact (pybullet getContactPoints reads the post-step
   world, envs/env.py step)."""
   kin = fk(model, st["pos"], st["quat"], st["q"])
   cpos, cvel, _ = contact_points(model, kin, st["ang"], st["lin"],
                                  st["qd"])
-  _, pen = flat_contact(model, cpos, cvel, boxes, fric_ground, fric_box)
+  _, pen = flat_contact(model, cpos, cvel, boxes, spheres, fric_ground,
+                        fric_box)
   return pen
 
 
 def substep(model: Model, st: Dict[str, jnp.ndarray], tau_j,
-            mass_e, inertia_e, damping_e, coulomb_e, boxes,
+            mass_e, inertia_e, damping_e, coulomb_e, boxes, spheres,
             fric_ground, fric_box):
   """One env-last physics substep (engine.fwd_dynamics + integrate)."""
   kin = fk(model, st["pos"], st["quat"], st["q"])
@@ -441,7 +467,8 @@ def substep(model: Model, st: Dict[str, jnp.ndarray], tau_j,
                        mass_e, inertia_e)
   cpos, cvel, Jp = contact_points(model, kin, st["ang"], st["lin"],
                                   st["qd"])
-  f_c, pen = flat_contact(model, cpos, cvel, boxes, fric_ground, fric_box)
+  f_c, pen = flat_contact(model, cpos, cvel, boxes, spheres, fric_ground,
+                          fric_box)
   tau_c = jnp.sum(Jp * f_c[:, :, None, :], axis=(0, 1))     # (nv,E)
   tau_full = (tau_j + joint_limit_torque(model, st["q"], st["qd"])
               - damping_e * st["qd"]
@@ -465,8 +492,8 @@ def substep(model: Model, st: Dict[str, jnp.ndarray], tau_j,
 
 
 def window(model: Model, rs: Dict[str, jnp.ndarray], action,
-           dyn: Dict[str, jnp.ndarray], boxes, fric_ground, fric_box,
-           n_substeps: int, interpolate: bool = False
+           dyn: Dict[str, jnp.ndarray], boxes, spheres, fric_ground,
+           fric_box, n_substeps: int, interpolate: bool = False
            ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
   """Full action-repeat window, env-last (a1.robot_step + the env's
   post-window contact read, fused).
@@ -475,7 +502,7 @@ def window(model: Model, rs: Dict[str, jnp.ndarray], action,
       hist(20,31,E) obs_tau(12,E) last_action(12,E) counter(E,)
   action (12,E) motor commands; dyn: kp/kd/strength (12,E),
   motor_friction/joint_friction (E,), mass_scale/inertia_scale (B,E).
-  boxes (K,8,E); fric_ground/fric_box (E,).
+  boxes (K,8,E); spheres (Q,5,E) or None; fric_ground/fric_box (E,).
   Returns (new rs, pen_end (P,2,E): [ground, obstacle] penetration of the
   post-window state — what envs/env.py step() feeds the contact-based
   termination).
@@ -499,7 +526,7 @@ def window(model: Model, rs: Dict[str, jnp.ndarray], action,
     tau = motor_torques(st["q"], st["qd"], cmd, dyn["kp"], dyn["kd"],
                         dyn["strength"])
     st, _ = substep(model, st, tau, mass_e, inertia_e, damping_e,
-                    coulomb_e, boxes, fric_ground, fric_box)
+                    coulomb_e, boxes, spheres, fric_ground, fric_box)
     rec = jnp.concatenate([st["q"], st["qd"], st["quat"], st["ang"]],
                           axis=0)                           # (31,E)
     hist = jnp.concatenate([rec[None], hist[:-1]], axis=0)
@@ -507,7 +534,8 @@ def window(model: Model, rs: Dict[str, jnp.ndarray], action,
 
   st, hist, obs_tau = jax.lax.fori_loop(
       0, n_substeps, body, (st0, rs["hist"], rs["obs_tau"]))
-  pen_end = end_contact_pen(model, st, boxes, fric_ground, fric_box)
+  pen_end = end_contact_pen(model, st, boxes, spheres, fric_ground,
+                            fric_box)
   new_rs = dict(st, hist=hist, obs_tau=obs_tau, last_action=action,
                 counter=rs["counter"] + n_substeps)
   return new_rs, pen_end

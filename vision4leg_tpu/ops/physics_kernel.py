@@ -75,7 +75,7 @@ def _dyn_to_envlast(dyn: a1.DynamicsParams) -> dict:
 
 
 def _window_math(model: Model, rs: a1.RobotState, command, dyn,
-                 boxes, fric_ground, fric_box, n_substeps: int,
+                 boxes, spheres, fric_ground, fric_box, n_substeps: int,
                  interpolate: bool):
   """One env's full action-repeat window — env-first XLA fallback with
   semantics identical to a1.robot_step followed by the env's post-window
@@ -88,7 +88,9 @@ def _window_math(model: Model, rs: a1.RobotState, command, dyn,
     return (col == 2).astype(xy.dtype)
 
   cfn = contact_lib.make_terrain_contact_fn(
-      h_fn, n_fn, boxes=boxes, friction=fric_ground, box_friction=fric_box)
+      h_fn, n_fn, boxes=boxes,
+      spheres=spheres if spheres.shape[0] > 0 else None,
+      friction=fric_ground, box_friction=fric_box)
   model_d = a1.apply_dynamics(model, dyn)
   prev = rs.last_robot_action
 
@@ -114,10 +116,10 @@ def _window_math(model: Model, rs: a1.RobotState, command, dyn,
   return rs, pen_end
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(8, 9, 10))
 def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
-                        boxes, fric_ground, fric_box, n_substeps: int,
-                        interpolate: bool = False,
+                        boxes, spheres, fric_ground, fric_box,
+                        n_substeps: int, interpolate: bool = False,
                         force_kernel: bool = False
                         ) -> Tuple[a1.RobotState, jnp.ndarray]:
   """Batched a1.robot_step window + post-window contact read (flat
@@ -140,9 +142,9 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
       or (jax.device_count() > 1 and not force_kernel)
       or E % TILE_E != 0):
     new_rs, pen_end = jax.vmap(
-        lambda r, c, d, b, fg, fb: _window_math(model, r, c, d, b, fg, fb,
-                                                n_substeps, interpolate))(
-            rs, command, dyn, boxes, fric_ground, fric_box)
+        lambda r, c, d, b, sp, fg, fb: _window_math(
+            model, r, c, d, b, sp, fg, fb, n_substeps, interpolate))(
+            rs, command, dyn, boxes, spheres, fric_ground, fric_box)
     return new_rs, pen_end
 
   rs_el = _rs_to_envlast(rs)
@@ -172,9 +174,16 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   dyn_leaves = [to_tiles(dyn_el[k]) for k in DYN_KEYS]
   mdl_leaves, mdl_def = jax.tree_util.tree_flatten(model)
   n_rs, n_dyn, n_mdl = len(rs_leaves), len(dyn_leaves), len(mdl_leaves)
-  n_in = n_rs + 1 + n_dyn + n_mdl + 3
+  n_in = n_rs + 1 + n_dyn + n_mdl + 4
   cmd_el = to_tiles(jnp.moveaxis(command, 0, -1))
   boxes_el = to_tiles(jnp.moveaxis(boxes, 0, -1))
+  # zero-width sphere arrays still need a nonzero minor dim for tiling
+  if spheres.shape[1] == 0:
+    spheres = jnp.zeros((E, 1, 5), spheres.dtype)
+    sph_valid = False
+  else:
+    sph_valid = True
+  sph_el = to_tiles(jnp.moveaxis(spheres, 0, -1))
   fg_el = to_tiles(jnp.asarray(fric_ground))
   fb_el = to_tiles(jnp.asarray(fric_box))
 
@@ -196,9 +205,10 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
         mdl_def, [r[:] for r in ins[pos: pos + n_mdl]])
     pos += n_mdl
     bxs = ins[pos][0]
-    fg = ins[pos + 1][0, 0]
-    fb = ins[pos + 2][0, 0]
-    new_rs, pen_end = pe.window(mdl, rs_t, cmd, dyn_t, bxs, fg, fb,
+    sph = ins[pos + 1][0] if sph_valid else None
+    fg = ins[pos + 2][0, 0]
+    fb = ins[pos + 3][0, 0]
+    new_rs, pen_end = pe.window(mdl, rs_t, cmd, dyn_t, bxs, sph, fg, fb,
                                 n_substeps, interpolate)
     for o, k, one_d in zip(outs[:-1], RS_KEYS, rs_1d):
       v = new_rs[k].astype(o.dtype)
@@ -220,11 +230,12 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
                         memory_space=pltpu.VMEM)
 
   in_arrays = (rs_leaves + [cmd_el] + dyn_leaves + mdl_leaves
-               + [boxes_el, fg_el, fb_el])
+               + [boxes_el, sph_el, fg_el, fb_el])
   in_specs = ([tspec(x) for x in rs_leaves] + [tspec(cmd_el)]
               + [tspec(x) for x in dyn_leaves]
               + [fspec(x) for x in mdl_leaves]
-              + [tspec(boxes_el), tspec(fg_el), tspec(fb_el)])
+              + [tspec(boxes_el), tspec(sph_el), tspec(fg_el),
+                 tspec(fb_el)])
   out_arrays = rs_leaves + [jnp.zeros((T, model.ncp, 2, TILE_E),
                                       jnp.float32)]
   out_shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
