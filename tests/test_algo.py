@@ -342,3 +342,44 @@ def test_checkpoint_roundtrip_box_terrain(tmp_path):
     np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
   assert (agent2.collector_state.env_states.terrain.obstacle_spheres.shape
           == agent.collector_state.env_states.terrain.obstacle_spheres.shape)
+
+
+def test_off_policy_agent_loop():
+  """The timestep-driven off-policy loop (OffRLAlgo equivalent): pretrain
+  fills the replay with random exploration, then each env step triggers
+  learner updates from uniform samples; all state stays on device."""
+  from vision4leg_tpu.algo.off_policy.agent import OffPolicyAgent
+  from vision4leg_tpu.algo.off_policy.learners import (OffPolicyConfig,
+                                                       TwinSACQLearner)
+  from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+  from vision4leg_tpu.models.off_policy_nets import QNet, TanhGaussianPolicy
+
+  env = A1GymEnv(EnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.05, 0.5, 0.5) * 4,
+      time_step_s=0.0025, num_action_repeat=4, add_last_action_input=True,
+      no_displacement=True, diagonal_act=True, alive_reward=-0.05,
+      terrain_type="plane", settle_steps=20))
+  D, A = env.obs_dim, env.cfg.action_dim
+  pf = TanhGaussianPolicy(action_dim=A, hidden_shapes=(32,),
+                          append_hidden_shapes=())
+  qf = QNet(hidden_shapes=(32,))
+  k = jax.random.PRNGKey(0)
+  pf_p = pf.init(k, jnp.zeros((1, D)))
+  q1_p = qf.init(jax.random.fold_in(k, 1), jnp.zeros((1, D)),
+                 jnp.zeros((1, A)))
+  q2_p = qf.init(jax.random.fold_in(k, 2), jnp.zeros((1, D)),
+                 jnp.zeros((1, A)))
+
+  cfg = OffPolicyConfig(batch_size=16)
+  learner = TwinSACQLearner(cfg, pf.apply, qf.apply, A)
+  agent = OffPolicyAgent(env=env, learner=learner,
+                         learner_state=learner.init_state(pf_p, q1_p, q2_p),
+                         apply_pf=pf.apply, num_envs=4, replay_capacity=512,
+                         seed=0, pretrain_frames=32, max_episode_frames=16)
+  agent.pretrain()
+  assert int(agent.collector_state.replay.size) == 32
+  avg_rew, infos = agent.train_epoch(epoch_frames=32)
+  assert np.isfinite(avg_rew)
+  for key, v in infos.items():
+    assert np.isfinite(v), key
+  assert int(agent.learner_state.update_count) == 8
