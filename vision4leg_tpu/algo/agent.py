@@ -128,6 +128,12 @@ class PPOAgent:
       cs, traj, last_value = self._rollout_jit(ts.params, cs)
       ts, metrics = self._update_jit(ts, traj, last_value, key)
       metrics["Training/avg_reward"] = traj.rewards.mean()
+      # NaN guard (BaseCollector's per-step obs check, collector/base.py):
+      # logged as a metric instead of raising inside compiled code
+      metrics["diagnostics/nonfinite_obs"] = jnp.sum(
+          ~jnp.isfinite(traj.obs)).astype(jnp.float32)
+      metrics["diagnostics/nonfinite_reward"] = jnp.sum(
+          ~jnp.isfinite(traj.rewards)).astype(jnp.float32)
       return ts, cs, metrics
 
     self._train_epoch = train_epoch
