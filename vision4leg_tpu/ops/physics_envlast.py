@@ -403,7 +403,7 @@ def flat_contact(model: Model, pos, vel, boxes, spheres,
 # ---------------------------------------------------------------------------
 
 def solve_spd_cg(M: jnp.ndarray, b: jnp.ndarray,
-                 iters: int = 24) -> jnp.ndarray:
+                 iters: int = 16) -> jnp.ndarray:
   """Env-last Jacobi-PCG: M (nv,nv,E), b (nv,E)."""
   nv = M.shape[0]
   diag = jnp.stack([M[i, i] for i in range(nv)])            # (nv,E)
