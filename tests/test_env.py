@@ -164,3 +164,53 @@ def test_step_batch_matches_vmapped_step():
                              np.asarray(sb.robot.phys.pos), atol=1e-5)
   np.testing.assert_allclose(np.asarray(sa.robot.obs_hist),
                              np.asarray(sb.robot.obs_hist), atol=2e-4)
+
+
+def test_render_pruning_is_exact():
+  """View-axis culling of render boxes/spheres must be pixel-exact after
+  the 10 m depth clip, for random camera poses on the dense terrains."""
+  from vision4leg_tpu.envs import camera as cam
+  from vision4leg_tpu.envs import terrain as terr
+  from vision4leg_tpu.physics import maths
+
+  # reference renderer: no pruning (force the thresholds out of reach)
+  orig_boxes, orig_sph = cam.MAX_RENDER_BOXES, cam.MAX_RENDER_SPHERES
+
+  def render_all(ts, pos, rot, flat, subgoals):
+    cam.MAX_RENDER_BOXES = 10_000
+    cam.MAX_RENDER_SPHERES = 10_000
+    try:
+      h, _ = terr.height_fns(ts, flat)
+      return cam.render_depth(pos, rot, ts, h, flat, subgoals)
+    finally:
+      cam.MAX_RENDER_BOXES, cam.MAX_RENDER_SPHERES = orig_boxes, orig_sph
+
+  def render_pruned(ts, pos, rot, flat, subgoals):
+    h, _ = terr.height_fns(ts, flat)
+    return cam.render_depth(pos, rot, ts, h, flat, subgoals)
+
+  for gen, flat, subgoals in (
+      (terr.gen_thin_wide, True, True),
+      (terr.gen_spheres_with_subgoal, True, True),
+  ):
+    ts = gen(jax.random.PRNGKey(3))
+    for i in range(6):
+      k = jax.random.PRNGKey(100 + i)
+      kp, kq = jax.random.split(k)
+      pos = jnp.concatenate([
+          jax.random.uniform(kp, (1,), minval=-1.0, maxval=20.0),
+          jax.random.uniform(jax.random.fold_in(kp, 1), (1,),
+                             minval=-2.5, maxval=2.5),
+          jnp.array([0.27])])
+      rpy = jnp.array([0.0, 0.0,
+                       float(jax.random.uniform(kq, (), minval=-3.1,
+                                                maxval=3.1))])
+      rot = maths.quat_to_mat(maths.rpy_to_quat(rpy))
+      full = jax.jit(lambda p, r, ts=ts, f=flat, s=subgoals:
+                     render_all(ts, p, r, f, s))(pos, rot)
+      pruned = jax.jit(lambda p, r, ts=ts, f=flat, s=subgoals:
+                       render_pruned(ts, p, r, f, s))(pos, rot)
+      a = np.clip(np.asarray(full), 0.3, 10.0)
+      b = np.clip(np.asarray(pruned), 0.3, 10.0)
+      # identical up to f32 ULP noise from the reordered min-reduction
+      np.testing.assert_allclose(a, b, atol=1e-5)

@@ -54,6 +54,47 @@ def camera_rays(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray):
   return eye, dirs.reshape(-1, 3)
 
 
+# depth preprocessing clips at 10 m (preprocess_depth), and every ray has
+# UNIT forward component, so the hit parameter t is view-axis depth: an
+# object whose minimum view depth exceeds the clip produces pixels
+# identical to background (both clip to 10).  Culling such objects before
+# the per-ray tests is therefore EXACT, and on the 30 m corridor terrains
+# it roughly halves the (rays x objects) work.
+DEPTH_CLIP = 10.0
+MAX_RENDER_BOXES = 40
+MAX_RENDER_SPHERES = 32
+
+
+def _prune_rows(rows, eye, f, r_ax, u_ax, centers, bound_r, valid, k: int):
+  """Keep the K rows nearest in view depth; mask culled rows invalid.
+
+  Sphere-vs-frustum culling with the frustum truncated at the depth clip:
+  a culled object lies entirely outside the view cone or entirely past
+  the clip plane, so it cannot change any post-clip pixel (conservative —
+  extras may be kept, visibles are never dropped as long as fewer than K
+  objects intersect the truncated frustum, which the cone geometry bounds
+  on every shipped terrain)."""
+  if rows.shape[0] <= k:
+    return rows, valid
+  d = centers - eye[None]                                    # (K0, 3)
+  ax = jnp.sum(d * f[None], axis=-1)
+  lr = jnp.sum(d * r_ax[None], axis=-1)
+  lu = jnp.sum(d * u_ax[None], axis=-1)
+  a_max, b_max = 1.0 / P00, 1.0 / P11
+  na = jnp.sqrt(1.0 + a_max ** 2)
+  nb = jnp.sqrt(1.0 + b_max ** 2)
+  cull = ((ax - bound_r > DEPTH_CLIP + 0.2)                  # past the clip
+          | (ax + bound_r < -0.01)                           # behind
+          | ((lr - a_max * ax) / na > bound_r + 0.01)        # right of cone
+          | ((-lr - a_max * ax) / na > bound_r + 0.01)       # left
+          | ((lu - b_max * ax) / nb > bound_r + 0.01)        # above
+          | ((-lu - b_max * ax) / nb > bound_r + 0.01)       # below
+          | (valid < 0.5))
+  key = jnp.where(cull, jnp.inf, ax)
+  _, idx = jax.lax.top_k(-key, k)
+  return rows[idx], jnp.where(jnp.isinf(key[idx]), 0.0, 1.0)
+
+
 def _ray_plane_t(eye, dirs, height: jnp.ndarray):
   """t of intersection with horizontal plane z=height (inf if none)."""
   dz = dirs[:, 2]
@@ -135,15 +176,34 @@ def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
                  show_subgoals: bool) -> jnp.ndarray:
   """(64, 64) linearized depth (view-axis meters), background ~inf->far."""
   eye, dirs = camera_rays(trunk_pos, trunk_rot)
+  # exact view frame (rays are f + offsets in the image plane, so the hit
+  # parameter t of any ray equals dot(hit - eye, f): true view depth)
+  fwd = 0.5 * (trunk_rot[:, 0] - trunk_rot[:, 2])
+  up0 = 0.5 * (trunk_rot[:, 0] + trunk_rot[:, 2])
+  f_axis = fwd / jnp.linalg.norm(fwd)
+  r_axis = jnp.cross(f_axis, up0)
+  r_axis = r_axis / jnp.linalg.norm(r_axis)
+  u_axis = jnp.cross(r_axis, f_axis)
   if flat:
     t = _ray_plane_t(eye, dirs, jnp.asarray(0.0))
   else:
     t = _ray_heightfield_t(eye, dirs, height_fn)
   if terrain.boxes.shape[0] > 0:
-    t = jnp.minimum(t, _ray_boxes_t(eye, dirs, terrain.boxes))
+    boxes = terrain.boxes
+    if boxes.shape[0] > MAX_RENDER_BOXES:
+      br = jnp.linalg.norm(boxes[:, 3:6], axis=-1)
+      boxes, v = _prune_rows(boxes, eye, f_axis, r_axis, u_axis,
+                             boxes[:, 0:3], br, boxes[:, 7],
+                             MAX_RENDER_BOXES)
+      boxes = boxes.at[:, 7].set(jnp.minimum(boxes[:, 7], v))
+    t = jnp.minimum(t, _ray_boxes_t(eye, dirs, boxes))
   if (terrain.obstacle_spheres is not None
       and terrain.obstacle_spheres.shape[0] > 0):
     q = terrain.obstacle_spheres
+    if q.shape[0] > MAX_RENDER_SPHERES:
+      q, v = _prune_rows(q, eye, f_axis, r_axis, u_axis, q[:, 0:3],
+                         q[:, 3], q[:, 4], MAX_RENDER_SPHERES)
+      q = q.at[:, 4].set(jnp.minimum(q[:, 4], v))
     t = jnp.minimum(
         t, _ray_spheres_t(eye, dirs, q[:, 0:3], q[:, 3], q[:, 4]))
   if show_subgoals:
@@ -154,9 +214,13 @@ def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
     # (move_forward_task.py:180-184) but remain in the depth buffer; the
     # reference's getCameraImage still *depth*-renders transparent bodies,
     # so all spheres stay visible here.
+    active = jnp.ones(centers.shape[0])
+    if centers.shape[0] > MAX_RENDER_SPHERES:
+      centers, active = _prune_rows(
+          centers, eye, f_axis, r_axis, u_axis, centers,
+          jnp.asarray(SUBGOAL_RADIUS), active, MAX_RENDER_SPHERES)
     t = jnp.minimum(
-        t, _ray_spheres_t(eye, dirs, centers, SUBGOAL_RADIUS,
-                          jnp.ones(terrain.subgoals.shape[0])))
+        t, _ray_spheres_t(eye, dirs, centers, SUBGOAL_RADIUS, active))
   depth = jnp.where(jnp.isfinite(t), t, 1000.0)
   return depth.reshape(IMG_SIZE, IMG_SIZE)
 
