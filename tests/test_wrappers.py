@@ -1,0 +1,77 @@
+"""Env-wrapper equivalents: curriculum schedule, RandoDir, NormRet,
+RewardShift (reference: curriculum_wrapper_env.py, env_builder.py:110-156,
+base_wrapper.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision4leg_tpu.envs import wrappers as W
+
+
+def test_curriculum_schedule():
+  """Cubic ramp 1000 -> 2000 over 10M frames (curriculum_wrapper_env.py:
+  31-66): endpoints exact, midpoint at start + 0.5^3 * range."""
+  n = 8
+  assert int(W.curriculum_episode_length(jnp.asarray(0),
+                                         num_parallel_envs=n)) == 1000
+  assert int(W.curriculum_episode_length(jnp.asarray(10_000_000 // n),
+                                         num_parallel_envs=n)) == 2000
+  mid = int(W.curriculum_episode_length(jnp.asarray(5_000_000 // n),
+                                        num_parallel_envs=n))
+  assert mid == 1000 + int(0.125 * 1000), mid
+  # clamps past the end
+  assert int(W.curriculum_episode_length(jnp.asarray(20_000_000 // n),
+                                         num_parallel_envs=n)) == 2000
+
+
+def test_rando_dir():
+  st, vec = W.rando_dir_reset(jax.random.PRNGKey(0))
+  np.testing.assert_allclose(float(jnp.linalg.norm(vec)), 1.0, atol=1e-6)
+  assert -np.pi / 2 <= float(st.angle) <= np.pi / 2
+  # fixed direction without an update interval
+  st2, vec2 = W.rando_dir_step(st, jax.random.PRNGKey(1), None)
+  np.testing.assert_allclose(np.asarray(vec2), np.asarray(vec), atol=1e-7)
+  # redraw exactly on the interval
+  st3 = st
+  changed = False
+  for i in range(4):
+    st3, v3 = W.rando_dir_step(st3, jax.random.fold_in(
+        jax.random.PRNGKey(2), i), 2)
+    if abs(float(st3.angle) - float(st.angle)) > 1e-6:
+      changed = True
+  assert changed
+
+
+def test_reward_shift():
+  r = jnp.asarray(2.0)
+  assert float(W.reward_shift(r, 0.5, training=True)) == 1.0
+  assert float(W.reward_shift(r, 0.5, training=False)) == 2.0
+
+
+def test_norm_ret_scales_by_return_std():
+  """After many steps of constant reward, the normalized reward must be
+  approximately reward / std(discounted returns)."""
+  E = 16
+  st = W.init_norm_ret(E)
+  key = jax.random.PRNGKey(0)
+  rews = 1.0 + 0.1 * jax.random.normal(key, (200, E))
+
+  @jax.jit
+  def run(st, rews):
+    def body(st, r):
+      st, normed = W.norm_ret_step(st, r, jnp.zeros(E))
+      return st, normed
+    return jax.lax.scan(body, st, rews)
+
+  st, normed = run(st, rews)
+  # the running variance covers the ramp-up of the discounted return
+  # (0 -> ~100), like the reference's Welford merge over all batches
+  std = float(jnp.sqrt(st.ret_var + 1e-4))
+  assert 1.0 < std < float(jnp.abs(st.ret).mean()), std
+  assert np.isfinite(np.asarray(normed)).all()
+  # normalized reward = raw / running return std
+  np.testing.assert_allclose(float(normed[-1].mean()),
+                             float(rews[-1].mean()) / std, rtol=1e-3)
+  # dones reset the running return
+  st2, _ = W.norm_ret_step(st, jnp.ones(E), jnp.ones(E))
+  np.testing.assert_allclose(np.asarray(st2.ret), 0.0, atol=1e-6)
