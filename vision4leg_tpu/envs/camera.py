@@ -149,16 +149,37 @@ def _ray_spheres_t(eye, dirs, centers, radius, active):
   return jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
 
 
-def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 96):
-  """Fixed-step ray march against a height function, then 8 bisections."""
+def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 96,
+                       chunk: int = 8):
+  """Fixed-step ray march against a height function, then 8 bisections.
+
+  The march scans over step-chunks so the live intermediate is
+  (rays, chunk) instead of (rays, n_steps): the bilinear height lookup
+  gathers four grid corners per sample, and materializing those for the
+  full 96-step volume across a 1024-env vmap is several GB of HBM (it
+  OOM'd the v5e on the random_hill config); chunked, the peak transient
+  shrinks by n_steps/chunk while total work is unchanged."""
   ts = jnp.linspace(0.05, FAR_T, n_steps)                # (S,)
-  pts = eye[None, None, :] + ts[None, :, None] * dirs[:, None, :]  # (N,S,3)
-  below = pts[..., 2] <= height_fn(pts[..., :2])         # (N, S)
-  any_hit = jnp.any(below, axis=-1)
-  first = jnp.argmax(below, axis=-1)                     # first True index
-  t_hi = ts[first]
-  t_lo = ts[jnp.maximum(first - 1, 0)]
-  t_lo = jnp.where(first == 0, 0.0, t_lo)
+  prev = jnp.concatenate([jnp.zeros((1,)), ts[:-1]])     # step s-1 (0 at s=0)
+  n_chunks = n_steps // chunk
+  ts_c = ts[:n_chunks * chunk].reshape(n_chunks, chunk)
+  prev_c = prev[:n_chunks * chunk].reshape(n_chunks, chunk)
+  n_rays = dirs.shape[0]
+
+  def march(carry, tc):
+    found, t_lo, t_hi = carry
+    ts_k, prev_k = tc                                    # (C,), (C,)
+    pts = eye[None, None, :] + ts_k[None, :, None] * dirs[:, None, :]
+    below = pts[..., 2] <= height_fn(pts[..., :2])       # (N, C)
+    hit = jnp.any(below, axis=-1)
+    first = jnp.argmax(below, axis=-1)                   # first True in chunk
+    new = hit & ~found
+    t_lo = jnp.where(new, prev_k[first], t_lo)
+    t_hi = jnp.where(new, ts_k[first], t_hi)
+    return (found | hit, t_lo, t_hi), None
+
+  init = (jnp.zeros(n_rays, bool), jnp.zeros(n_rays), jnp.zeros(n_rays))
+  (any_hit, t_lo, t_hi), _ = jax.lax.scan(march, init, (ts_c, prev_c))
 
   def bisect(carry, _):
     lo, hi = carry
