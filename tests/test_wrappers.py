@@ -42,6 +42,46 @@ def test_rando_dir():
   assert changed
 
 
+def test_env_random_dir_and_rotate_sensor():
+  """random_dir prepends a unit (cos, sin) and steers the task's velocity
+  reward; rotate_sensor widens the displacement history to 7 channels
+  (env_builder.py:110-156, 232)."""
+  from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+  cfg = EnvConfig(time_step_s=0.0025, num_action_repeat=4,
+                  diagonal_act=True, clip_num=(0.05, 0.5, 0.5) * 4,
+                  terrain_type="plane", settle_steps=20,
+                  random_dir=True, dir_update_interval=2,
+                  rotate_sensor=True, no_displacement=False)
+  env = A1GymEnv(cfg)
+  assert cfg.disp_channels == 7
+  assert cfg.proprio_dim == 2 + 21 + 12 + 36
+
+  @jax.jit
+  def roll(key):
+    st, obs = env.reset(key)
+    def body(carry, _):
+      st, _ = carry
+      st, obs, rew, done, _ = env.step(st, jnp.zeros(env.cfg.action_dim))
+      return (st, obs), (obs, st.dir_angle, st.task.target_vel_dir)
+    (st, obs0), (obss, angles, dirs) = jax.lax.scan(
+        body, (st, obs), None, length=6)
+    return obs, obss, angles, dirs
+
+  obs0, obss, angles, dirs = roll(jax.random.PRNGKey(3))
+  assert obs0.shape == (env.obs_dim,)
+  # (cos, sin) prefix is a unit vector on every step
+  heads = np.asarray(obss[:, :2])
+  np.testing.assert_allclose(np.linalg.norm(heads, axis=-1), 1.0, atol=1e-5)
+  # direction redraws on the update interval ...
+  assert len(np.unique(np.round(np.asarray(angles), 6))) > 1
+  # ... and the task's target_vel_dir follows the drawn angle
+  np.testing.assert_allclose(
+      np.asarray(dirs),
+      np.stack([np.cos(np.asarray(angles)), np.sin(np.asarray(angles))], -1),
+      atol=1e-6)
+  assert np.isfinite(np.asarray(obss)).all()
+
+
 def test_reward_shift():
   r = jnp.asarray(2.0)
   assert float(W.reward_shift(r, 0.5, training=True)) == 1.0

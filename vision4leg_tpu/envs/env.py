@@ -82,6 +82,16 @@ class EnvConfig:
   interpolation: bool = False
   fixed_delay_observation: bool = False
   empty_image: bool = False
+  # RandoDirWrapper (env_builder.py:110-156, 346-348): random target
+  # direction in [-pi/2, pi/2], (cos, sin) prepended to the observation
+  random_dir: bool = False
+  dir_update_interval: Optional[int] = None
+  # BaseDisplacementAndRotateSensor instead of BaseDisplacementSensor
+  # (env_builder.py:232): displacement + base-quaternion delta (7 ch)
+  rotate_sensor: bool = False
+  # accepted for config parity; rendering is headless here (the viewers
+  # dump the on-device depth stream to mp4 instead of pybullet's logger)
+  record_video: bool = False
   # engine knobs (not in the reference: PyBullet internals)
   settle_steps: int = 400
   substeps: int = 1
@@ -100,12 +110,18 @@ class EnvConfig:
     return 4 * self.frame_extract
 
   @property
+  def disp_channels(self) -> int:
+    return 7 if self.rotate_sensor else 3
+
+  @property
   def proprio_dim(self) -> int:
     d = 12 + 36  # IMU hist + MotorAngle hist
+    if self.random_dir:
+      d += 2     # RandoDirWrapper (cos, sin) prefix
     if self.goal:
       d += 6
     if not self.no_displacement:
-      d += 9
+      d += 3 * self.disp_channels
     if self.add_last_action_input:
       d += 36
     return d
@@ -127,10 +143,13 @@ class EnvState:
   task: tasks.TaskState
   motor_hist: jnp.ndarray        # (3, 12) newest first
   imu_hist: jnp.ndarray          # (3, 4)
-  disp_hist: jnp.ndarray         # (3, 3)
+  disp_hist: jnp.ndarray         # (3, 3) or (3, 7) with rotate_sensor
   last_action_hist: jnp.ndarray  # (3, 12)
   last_action: jnp.ndarray       # (12,)
   last_base_pos: jnp.ndarray     # (3,) for displacement sensor
+  last_base_quat: jnp.ndarray    # (4,) xyzw, for rotate_sensor delta
+  dir_angle: jnp.ndarray         # () RandoDir target angle
+  dir_count: jnp.ndarray         # () int32 RandoDir observation counter
   filter_state: action_filter.FilterState  # Butterworth action filter
   frames: jnp.ndarray            # (num_stored, 64, 64) or (1, 1, 1)
   frame_idx: jnp.ndarray         # (4,) int32
@@ -267,7 +286,8 @@ class A1GymEnv:
   # ------------------------------------------------------------------
   def reset(self, key: jax.Array) -> Tuple[EnvState, jnp.ndarray]:
     cfg = self.cfg
-    k_ter, k_dyn, k_pos, k_frame, k_interp, k_state = jax.random.split(key, 6)
+    (k_ter, k_dyn, k_pos, k_frame, k_interp, k_dir,
+     k_state) = jax.random.split(key, 7)
 
     terrain = self._gen_terrain(k_ter)
     dyn = dynamics_rando.maybe_sample(
@@ -308,17 +328,31 @@ class A1GymEnv:
         if cfg.interpolation else jnp.zeros((), jnp.int32))
 
     base_pos = rs.phys.pos
+    task_state = tasks.init_task_state(base_pos, terr.NUM_SUBGOALS)
+    # RandoDirWrapper.reset (env_builder.py:145-156): redraw in
+    # [-pi/2, pi/2] and point the task's velocity reward along it
+    dir_angle = (
+        jax.random.uniform(k_dir, (), minval=-jnp.pi / 2, maxval=jnp.pi / 2)
+        if cfg.random_dir else jnp.zeros(()))
+    if cfg.random_dir:
+      task_state = task_state.replace(
+          target_vel_dir=jnp.array([jnp.cos(dir_angle), jnp.sin(dir_angle)]))
     state = EnvState(
         robot=rs,
         dyn=dyn,
         terrain=terrain,
-        task=tasks.init_task_state(base_pos, terr.NUM_SUBGOALS),
+        task=task_state,
         motor_hist=jnp.zeros((3, 12)),
         imu_hist=jnp.zeros((3, 4)),
-        disp_hist=jnp.zeros((3, 3)),
+        disp_hist=jnp.zeros((3, cfg.disp_channels)),
         last_action_hist=jnp.zeros((3, 12)),
         last_action=cmd,
         last_base_pos=base_pos,
+        last_base_quat=maths.wxyz_to_xyzw(rs.phys.quat),
+        dir_angle=dir_angle,
+        # the reset observation is RandoDir count 1 (observation() runs
+        # once inside reset, env_builder.py:127-133)
+        dir_count=jnp.ones((), jnp.int32),
         filter_state=action_filter.init_state(12, cmd),
         frames=(jnp.zeros((cfg.num_stored_frames, 64, 64))
                 if cfg.get_image else jnp.zeros((1, 1, 1))),
@@ -348,6 +382,11 @@ class A1GymEnv:
     rpy, drpy = a1.delayed_rpy_and_rate(rs, dyn, dt)
     imu = jnp.array([rpy[0], rpy[1], drpy[0], drpy[1]])  # R P dR dP
     disp = rs.phys.pos - state.last_base_pos  # world frame (default)
+    if self.cfg.rotate_sensor:
+      # BaseDisplacementAndRotateSensor (robot_sensors.py:283-337):
+      # displacement + base-quaternion delta (xyzw)
+      dquat = maths.wxyz_to_xyzw(rs.phys.quat) - state.last_base_quat
+      disp = jnp.concatenate([disp, dquat])
     return motor, imu, disp
 
   def _capture_frame(self, state: EnvState, reset: bool) -> EnvState:
@@ -395,6 +434,9 @@ class A1GymEnv:
     """Flatten the sensor dict in sorted-name order (env_utils.py:27-50)."""
     cfg = self.cfg
     parts = []
+    if cfg.random_dir:  # RandoDirWrapper prefix (env_builder.py:140-142)
+      parts.append(jnp.array([jnp.cos(state.dir_angle),
+                              jnp.sin(state.dir_angle)]))
     if cfg.goal:  # "GoalPos" sensor (environment_sensors.py:78+)
       parts.append(state.robot.phys.pos)
       parts.append(state.terrain.goal_pos)
@@ -422,7 +464,9 @@ class A1GymEnv:
       state = state.replace(filter_state=fstate)
     key, k_move, k_frame = jax.random.split(state.key, 3)
     state = state.replace(key=key, last_action=act12,
-                          last_base_pos=state.robot.phys.pos)
+                          last_base_pos=state.robot.phys.pos,
+                          last_base_quat=maths.wxyz_to_xyzw(
+                              state.robot.phys.quat))
 
     terrain = state.terrain
     if cfg.moving:  # randomize_step (a1_randomizer_ground.py:411-443)
@@ -485,6 +529,21 @@ class A1GymEnv:
         task=task_state.replace(subgoal_trackers=trackers),
         step_counter=state.step_counter + 1,
     )
+
+    if cfg.random_dir and cfg.dir_update_interval is not None:
+      # RandoDirWrapper.observation (env_builder.py:127-142): every
+      # dir_update_interval observations, redraw the target direction;
+      # it steers the NEXT step's velocity reward and this step's obs
+      key, k_dir = jax.random.split(state.key)
+      count = state.dir_count + 1
+      redraw = (count % cfg.dir_update_interval) == 0
+      new_angle = jax.random.uniform(k_dir, (), minval=-jnp.pi / 2,
+                                     maxval=jnp.pi / 2)
+      angle = jnp.where(redraw, new_angle, state.dir_angle)
+      state = state.replace(
+          key=key, dir_count=count, dir_angle=angle,
+          task=state.task.replace(target_vel_dir=jnp.array(
+              [jnp.cos(angle), jnp.sin(angle)])))
 
     if cfg.get_image:
       do_capture = (state.step_counter % cfg.get_image_interval) == 0

@@ -28,7 +28,8 @@ _DIRECT_KEYS = {
     "subgoal_reward", "no_displacement", "get_image_interval",
     "reset_frame_idx", "reset_frame_idx_each_step", "random_shape",
     "moving", "curriculum", "interpolation", "fixed_delay_observation",
-    "empty_image",
+    "empty_image", "random_dir", "dir_update_interval", "rotate_sensor",
+    "record_video",
 }
 
 
@@ -41,10 +42,6 @@ def env_config_from_build_params(env_build: dict) -> EnvConfig:
       kwargs["clip_num"] = tuple(v) if v is not None else None
     elif k == "fric_coeff":
       kwargs["fric_coeff"] = tuple(v)
-    elif k in ("dir_update_interval", "random_dir", "rotate_sensor",
-               "record_video"):
-      if v:  # RandoDirWrapper / rotate sensor variants: round-2 work
-        raise NotImplementedError(f"env_build option {k}={v}")
     else:
       raise KeyError(f"unknown env_build key: {k}")
   return EnvConfig(**kwargs)
