@@ -73,7 +73,10 @@ def run_experiment(build_module):
       save_dir=osp.join(logger.work_dir, "model"),
       eval_interval=gs.get("eval_interval", 10),
       save_interval=gs.get("save_interval", 100),
-      num_eval_envs=max(2, params["collector"].get("eval_episodes", 2)),
+      # the reference evaluates eval_episodes (=2) episodes per eval pass;
+      # extra vmapped eval envs are ~free on device, and a wider sample
+      # makes Eval_Rewards_Average / best-snapshot selection far less noisy
+      num_eval_envs=max(8, params["collector"].get("eval_episodes", 2)),
       obs_norm=meta["obs_norm"],
   )
   agent.train(resume=args.resume)

@@ -52,7 +52,7 @@ class Logger:
     self.csv_file_path = osp.join(self.work_dir, "log.csv")
     self.update_infos = {}
     self.logger_dict = {}
-    self.csv_keys_written = False
+    self.csv_fieldnames = None
     with open(osp.join(self.work_dir, "params.json"), "w") as f:
       json.dump(params, f, indent=2, default=str)
     self.start_time = time.time()
@@ -95,10 +95,32 @@ class Logger:
     self.update_infos = {}
     print(_tabulate(rows), flush=True)
     if csv_write:
-      write_header = not self.csv_keys_written
-      with open(self.csv_file_path, "a", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(out.keys()))
-        if write_header:
-          w.writeheader()
-          self.csv_keys_written = True
-        w.writerow({k: out.get(k, "") for k in out})
+      self._write_csv_row(out)
+
+  def _write_csv_row(self, out: "OrderedDict"):
+    """Append one row, keeping columns aligned as the key set grows:
+    epoch 0 has no Running_Average_Rewards / Eval_* keys yet, so when a
+    new key first appears the file is rewritten with the expanded header
+    (rows are small: one per epoch)."""
+    if self.csv_fieldnames is None and osp.exists(self.csv_file_path):
+      # resumed run: adopt the existing header
+      with open(self.csv_file_path, newline="") as f:
+        self.csv_fieldnames = next(csv.reader(f), None)
+    new_keys = [k for k in out
+                if self.csv_fieldnames is None or k not in self.csv_fieldnames]
+    if self.csv_fieldnames is None:
+      self.csv_fieldnames = list(out.keys())
+      with open(self.csv_file_path, "w", newline="") as f:
+        csv.DictWriter(f, fieldnames=self.csv_fieldnames).writeheader()
+    elif new_keys:
+      with open(self.csv_file_path, newline="") as f:
+        old_rows = list(csv.DictReader(f))
+      self.csv_fieldnames = self.csv_fieldnames + new_keys
+      with open(self.csv_file_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=self.csv_fieldnames)
+        w.writeheader()
+        for r in old_rows:
+          w.writerow({k: r.get(k, "") for k in self.csv_fieldnames})
+    with open(self.csv_file_path, "a", newline="") as f:
+      w = csv.DictWriter(f, fieldnames=self.csv_fieldnames)
+      w.writerow({k: out.get(k, "") for k in self.csv_fieldnames})
