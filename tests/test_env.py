@@ -174,7 +174,7 @@ def test_render_pruning_is_exact():
   from vision4leg_tpu.physics import maths
 
   # reference renderer: no pruning (force the thresholds out of reach)
-  orig_boxes, orig_sph = cam.MAX_RENDER_BOXES, cam.MAX_RENDER_SPHERES
+  orig = (cam.MAX_RENDER_BOXES, cam.MAX_RENDER_SPHERES)
 
   def render_all(ts, pos, rot, flat, subgoals):
     cam.MAX_RENDER_BOXES = 10_000
@@ -183,15 +183,20 @@ def test_render_pruning_is_exact():
       h, _ = terr.height_fns(ts, flat)
       return cam.render_depth(pos, rot, ts, h, flat, subgoals)
     finally:
-      cam.MAX_RENDER_BOXES, cam.MAX_RENDER_SPHERES = orig_boxes, orig_sph
+      cam.MAX_RENDER_BOXES, cam.MAX_RENDER_SPHERES = orig
 
-  def render_pruned(ts, pos, rot, flat, subgoals):
+  def render_pruned(ts, pos, rot, flat, subgoals, cap):
     h, _ = terr.height_fns(ts, flat)
-    return cam.render_depth(pos, rot, ts, h, flat, subgoals)
+    return cam.render_depth(pos, rot, ts, h, flat, subgoals, max_boxes=cap)
 
-  for gen, flat, subgoals in (
-      (terr.gen_thin_wide, True, True),
-      (terr.gen_spheres_with_subgoal, True, True),
+  for gen, flat, subgoals, cap in (
+      (terr.gen_thin_wide, True, True,
+       terr.RENDER_BOX_CAPS["random_blocks_sparse_thin_wide"]),
+      (lambda k: terr.gen_blocks_sparse(k, subgoal=True), True, True,
+       terr.RENDER_BOX_CAPS["random_blocks_sparse_with_subgoal"]),
+      (terr.gen_chair_desk, True, False,
+       terr.RENDER_BOX_CAPS["random_chair_desk"]),
+      (terr.gen_spheres_with_subgoal, True, True, 40),
   ):
     ts = gen(jax.random.PRNGKey(3))
     for i in range(6):
@@ -208,8 +213,8 @@ def test_render_pruning_is_exact():
       rot = maths.quat_to_mat(maths.rpy_to_quat(rpy))
       full = jax.jit(lambda p, r, ts=ts, f=flat, s=subgoals:
                      render_all(ts, p, r, f, s))(pos, rot)
-      pruned = jax.jit(lambda p, r, ts=ts, f=flat, s=subgoals:
-                       render_pruned(ts, p, r, f, s))(pos, rot)
+      pruned = jax.jit(lambda p, r, ts=ts, f=flat, s=subgoals, c=cap:
+                       render_pruned(ts, p, r, f, s, c))(pos, rot)
       a = np.clip(np.asarray(full), 0.3, 10.0)
       b = np.clip(np.asarray(pruned), 0.3, 10.0)
       # identical up to f32 ULP noise from the reordered min-reduction

@@ -1,0 +1,76 @@
+"""Rollout phase ablation on the real TPU: times the jitted rollout with
+components disabled to attribute the per-epoch cost (camera raycast,
+physics window, policy forward).
+
+  python tools/ablate_rollout.py            # thin-goal, 1024 envs
+"""
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import dataclasses
+import jax
+
+from vision4leg_tpu.algo.agent import PPOAgent
+from vision4leg_tpu.algo.ppo import PPOConfig
+from vision4leg_tpu.envs.get_env import get_env
+from vision4leg_tpu.models.actor_critic import LocoTransformerActorCritic
+
+
+class _NullLogger:
+  work_dir = "/tmp/v4l_ablate"
+  def add_epoch_info(self, *a, **k): pass
+  def log(self, *a, **k): pass
+
+
+def time_rollout(env, meta, params_json, num_envs=1024, n=3):
+  module = LocoTransformerActorCritic(
+      action_dim=env.cfg.action_dim,
+      state_input_shape=env.cfg.proprio_dim,
+      visual_input_shape=(4, 64, 64),
+      encoder_hidden_shapes=(256, 256),
+      transformer_params=((1, 256), (1, 256)),
+      append_hidden_shapes=(256, 256))
+  cfg = PPOConfig(batch_size=1024, epoch_frames=16384,
+                  max_episode_frames=999, num_epochs=10)
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
+                   seed=0, logger=_NullLogger(), save_dir="/tmp/v4l_ablate",
+                   obs_norm=meta["obs_norm"])
+  ts, cs = agent.train_state, agent.collector_state
+  for _ in range(3):
+    cs2, traj, lv = agent._rollout_jit(ts.params, cs)
+    jax.block_until_ready(lv)
+  t0 = time.time()
+  for _ in range(n):
+    cs2, traj, lv = agent._rollout_jit(ts.params, cs)
+    jax.block_until_ready(lv)
+  return (time.time() - t0) / n
+
+
+def main():
+  cfg_path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                      "config/rl/static/locotransformer/thin-goal.json")
+  params = json.load(open(cfg_path))
+  variants = {
+      "full": {},
+      "empty_image (no raycast)": {"empty_image": True},
+      "no blind spots/preproc": {"depth_image": False},
+      "image_interval=2": {"get_image_interval": 2},
+  }
+  base = None
+  for name, over in variants.items():
+    p = json.loads(json.dumps(params))
+    p["env"]["env_build"].update(over)
+    env, meta = get_env(p["env_name"], p["env"])
+    dt = time_rollout(env, meta, p)
+    if base is None:
+      base = dt
+    print(f"{name:28s} rollout {dt*1000:7.1f} ms/epoch "
+          f"(delta {1000*(base-dt):+7.1f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+  main()

@@ -194,7 +194,8 @@ def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 96,
 
 def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
                  terrain: TerrainState, height_fn, flat: bool,
-                 show_subgoals: bool) -> jnp.ndarray:
+                 show_subgoals: bool,
+                 max_boxes: int = MAX_RENDER_BOXES) -> jnp.ndarray:
   """(64, 64) linearized depth (view-axis meters), background ~inf->far."""
   eye, dirs = camera_rays(trunk_pos, trunk_rot)
   # exact view frame (rays are f + offsets in the image plane, so the hit
@@ -211,11 +212,11 @@ def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
     t = _ray_heightfield_t(eye, dirs, height_fn)
   if terrain.boxes.shape[0] > 0:
     boxes = terrain.boxes
-    if boxes.shape[0] > MAX_RENDER_BOXES:
+    if boxes.shape[0] > max_boxes:
       br = jnp.linalg.norm(boxes[:, 3:6], axis=-1)
       boxes, v = _prune_rows(boxes, eye, f_axis, r_axis, u_axis,
                              boxes[:, 0:3], br, boxes[:, 7],
-                             MAX_RENDER_BOXES)
+                             max_boxes)
       boxes = boxes.at[:, 7].set(jnp.minimum(boxes[:, 7], v))
     t = jnp.minimum(t, _ray_boxes_t(eye, dirs, boxes))
   if (terrain.obstacle_spheres is not None
@@ -257,13 +258,12 @@ def preprocess_depth(depth: jnp.ndarray, key: jax.Array,
     k1, k2 = jax.random.split(key)
     num = jax.random.randint(k1, (), 3, 30)
     idx = jax.random.randint(k2, (30, 2), 0, IMG_SIZE)
-    active = jnp.arange(30) < num
-    rows = jax.lax.broadcasted_iota(jnp.int32, (IMG_SIZE, IMG_SIZE), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (IMG_SIZE, IMG_SIZE), 1)
-    hit = jnp.any(
-        (rows[None] == idx[:, 0, None, None])
-        & (cols[None] == idx[:, 1, None, None])
-        & active[:, None, None], axis=0)
-    depth = jnp.where(hit, 10.0, depth)
+    # flatten to one comparison per (spot, pixel) — same distribution as
+    # the reference's independent (row, col) draws, half the compare work
+    flat = idx[:, 0] * IMG_SIZE + idx[:, 1]
+    flat = jnp.where(jnp.arange(30) < num, flat, -1)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (IMG_SIZE * IMG_SIZE,), 0)
+    hit = jnp.any(pix[None] == flat[:, None], axis=0)
+    depth = jnp.where(hit.reshape(IMG_SIZE, IMG_SIZE), 10.0, depth)
   depth = jnp.clip(depth, 0.3, 10.0)
   return jnp.sqrt(jnp.log(depth + 1.0))

@@ -400,7 +400,9 @@ class A1GymEnv:
       h_fn, _ = terr.height_fns(state.terrain, self._flat)
       depth = cam.render_depth(
           state.robot.phys.pos, kin_R, state.terrain, h_fn, self._flat,
-          show_subgoals=cfg.subgoal_reward is not None)
+          show_subgoals=cfg.subgoal_reward is not None,
+          max_boxes=terr.RENDER_BOX_CAPS.get(cfg.terrain_type,
+                                             cam.MAX_RENDER_BOXES))
       if cfg.depth_image:
         depth = cam.preprocess_depth(depth, k_blind, blind_spots=True)
     if reset:

@@ -515,6 +515,24 @@ TERRAIN_GENERATORS = {
     "mount": lambda k: gen_mount(k, goal=True),
 }
 
+# Per-terrain cap on boxes kept by the camera's frustum prune.  The prune
+# keeps the CAP nearest (by view depth) boxes intersecting the frustum
+# truncated at the 10 m depth clip, so rendering is exact as long as no
+# camera pose ever sees more than CAP boxes.  Measured over random
+# poses/seeds (tools/ablate_rollout.py methodology): the sparse corridor
+# terrains peak at 5-6 in-frustum boxes (thin obstacles on a 30 m strip),
+# chair_desk at 10; multi_stairs legitimately shows all 35 steps.  The
+# (rays x boxes) slab test is the single hottest rollout op, so the cap
+# directly scales the camera cost.
+RENDER_BOX_CAPS = {
+    "random_blocks_sparse": 16,
+    "random_blocks_sparse_with_subgoal": 16,
+    "random_blocks_sparse_thin_wide": 16,
+    "random_blocks_sparse_and_heightfield": 16,
+    "random_blocks_sparse_with_subgoal_heightfield": 16,
+    "random_chair_desk": 24,
+}
+
 # terrains whose ground is the flat z=0 plane (fast path for contact/camera)
 FLAT_TERRAINS = frozenset([
     "plane", "random_blocks", "random_blocks_sparse",
