@@ -1,5 +1,6 @@
 #!/bin/bash
-# Serial training queue for the remaining BASELINE.json configs (one TPU chip).
+# Serial training queue (one TPU chip): hill rerun (post camera-OOM fix)
+# and a second thin-goal seed for seed-variance evidence.
 cd /root/repo
 set -x
 python starter/ppo_locotransformer.py \
@@ -7,14 +8,9 @@ python starter/ppo_locotransformer.py \
   --seed 0 --log_dir runs --id hill_10M \
   --num_epochs 611 --num_envs 1024 --overwrite \
   > /tmp/train_hill.log 2>&1
-python starter/ppo_nature_cnn.py \
-  --config config/rl/static/naive_baseline/thin-goal.json \
-  --seed 0 --log_dir runs --id nature_naive_10M \
+python starter/ppo_locotransformer.py \
+  --config config/rl/static/locotransformer/thin-goal.json \
+  --seed 1 --log_dir runs --id thin_goal_10M \
   --num_epochs 611 --num_envs 1024 --overwrite \
-  > /tmp/train_nature_naive.log 2>&1
-python starter/ppo_nature_cnn.py \
-  --config config/rl/static/frame_extract4_fixed_delay/thin-goal.json \
-  --seed 0 --log_dir runs --id nature_fixed_delay_10M \
-  --num_epochs 611 --num_envs 1024 --overwrite \
-  > /tmp/train_nature_fixed.log 2>&1
+  > /tmp/train_thin_seed1.log 2>&1
 echo QUEUE_DONE

@@ -178,17 +178,19 @@ def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 96,
     t_hi = jnp.where(new, ts_k[first], t_hi)
     return (found | hit, t_lo, t_hi), None
 
-  init = (jnp.zeros(n_rays, bool), jnp.zeros(n_rays), jnp.zeros(n_rays))
-  (any_hit, t_lo, t_hi), _ = jax.lax.scan(march, init, (ts_c, prev_c))
+  # unrolled: a lax.scan here (nested inside the rollout's reset-cond
+  # inside the epoch scan) reproducibly faults the v5e — the sequential
+  # carry still bounds live memory to one chunk's intermediates
+  carry = (jnp.zeros(n_rays, bool), jnp.zeros(n_rays), jnp.zeros(n_rays))
+  for i in range(n_chunks):
+    carry, _ = march(carry, (ts_c[i], prev_c[i]))
+  any_hit, t_lo, t_hi = carry
 
-  def bisect(carry, _):
-    lo, hi = carry
-    mid = 0.5 * (lo + hi)
+  for _ in range(8):
+    mid = 0.5 * (t_lo + t_hi)
     p = eye[None] + mid[:, None] * dirs
     under = p[:, 2] <= height_fn(p[:, :2])
-    return (jnp.where(under, lo, mid), jnp.where(under, mid, hi)), None
-
-  (t_lo, t_hi), _ = jax.lax.scan(bisect, (t_lo, t_hi), None, length=8)
+    t_lo, t_hi = jnp.where(under, t_lo, mid), jnp.where(under, mid, t_hi)
   return jnp.where(any_hit, 0.5 * (t_lo + t_hi), jnp.inf)
 
 
