@@ -27,6 +27,10 @@ if os.environ.get("V4L_TPU_PLATFORM"):
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_v4l"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from vision4leg_tpu.algo.agent import PPOAgent
 from vision4leg_tpu.algo.ppo import PPOConfig
 from vision4leg_tpu.envs.get_env import get_env

@@ -22,6 +22,15 @@ if os.environ.get("V4L_TPU_PLATFORM"):
     jax.config.update("jax_num_cpu_devices",
                       int(os.environ["V4L_TPU_CPU_DEVICES"]))
 
+# persistent compilation cache: compiles run REMOTELY over the axon
+# tunnel (PALLAS_AXON_REMOTE_COMPILE=1) and long compiles occasionally
+# drop with UNAVAILABLE; caching makes retries resume past already-built
+# programs instead of recompiling from scratch
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_v4l"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from vision4leg_tpu.algo.agent import PPOAgent
 from vision4leg_tpu.algo.ppo import PPOConfig
 from vision4leg_tpu.envs.get_env import get_env
