@@ -3,7 +3,7 @@
 # UNAVAILABLE; train with automatic retry (+--resume once checkpoints
 # exist at save_interval epochs).
 cd /root/repo
-for i in 1 2 3 4 5 6; do
+for i in $(seq 1 20); do
   RESUME=""
   [ -e runs/hill_10M/A1MoveGround/0/model/checkpoint ] && RESUME="--resume"
   python starter/ppo_locotransformer.py \

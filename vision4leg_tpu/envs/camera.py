@@ -29,7 +29,6 @@ from vision4leg_tpu.envs.terrain import TerrainState, SUBGOAL_RADIUS
 IMG_SIZE = 64
 P00 = 1.0825318098068237   # proj[0,0] (ref :585)
 P11 = 1.732050895690918    # proj[1,1]
-FAR_T = 20.0               # max ray march distance (depth clips at 10 anyway)
 T_MISS = 1000.0 * 0.01 / (1000.0 - 999.99)  # ~ depth of zbuf=1 (background)
 
 
@@ -149,17 +148,22 @@ def _ray_spheres_t(eye, dirs, centers, radius, active):
   return jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
 
 
-def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 96,
-                       chunk: int = 8):
+def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 56,
+                       chunk: int = 8, far_t: float = 10.5):
   """Fixed-step ray march against a height function, then 8 bisections.
 
   The march scans over step-chunks so the live intermediate is
   (rays, chunk) instead of (rays, n_steps): the bilinear height lookup
   gathers four grid corners per sample, and materializing those for the
-  full 96-step volume across a 1024-env vmap is several GB of HBM (it
+  full march volume across a 1024-env vmap is several GB of HBM (it
   OOM'd the v5e on the random_hill config); chunked, the peak transient
-  shrinks by n_steps/chunk while total work is unchanged."""
-  ts = jnp.linspace(0.05, FAR_T, n_steps)                # (S,)
+  shrinks by n_steps/chunk while total work is unchanged.
+
+  far_t: depth preprocessing clips at 10 m and every ray has unit
+  forward component, so a hit with t > 10 renders identically to a miss
+  after the clip — marching past ~10.5 m is pure waste (the reference
+  marches its zbuffer to the far plane but the clip erases it too)."""
+  ts = jnp.linspace(0.05, far_t, n_steps)                # (S,)
   prev = jnp.concatenate([jnp.zeros((1,)), ts[:-1]])     # step s-1 (0 at s=0)
   n_chunks = n_steps // chunk
   ts_c = ts[:n_chunks * chunk].reshape(n_chunks, chunk)

@@ -80,6 +80,12 @@ def done(cfg: TaskConfig, ts: TaskState, base_pos: jnp.ndarray,
   rot_mat = maths.quat_to_mat(quat_wxyz)
   rot_fall = rot_mat[2, 2] < 0.6
   height_fall = base_pos[2] < cfg.height_fall_coeff
+  # NaN-robust: comparisons with NaN are False, so a diverged env would
+  # otherwise never terminate and its NaNs would propagate through the
+  # rollout (the reference kills on NaN instead: collector/base.py:68-70,
+  # minitaur.py:418-429); here it terminates and partial-resets
+  height_fall = height_fall | ~jnp.isfinite(base_pos).all() \
+      | ~jnp.isfinite(quat_wxyz).all()
   if cfg.z_constrain:
     height_fall = height_fall | (base_pos[2] > 0.8)
   d = jnp.array(False)

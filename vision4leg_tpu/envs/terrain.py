@@ -101,6 +101,12 @@ def heightfield_fns(terrain: TerrainState):
   def h(xy):
     gx = (xy[..., 0] - terrain.hf_origin[0]) / cell
     gy = (xy[..., 1] - terrain.hf_origin[1]) / cell
+    # non-finite query coords (a diverged env's FK positions) must not
+    # reach the gather: jnp.clip keeps NaN, floor(NaN)->int32 is garbage,
+    # and a garbage-index gather DMA faults the TPU (observed as
+    # UNAVAILABLE device errors on the hill terrains)
+    gx = jnp.where(jnp.isfinite(gx), gx, 0.0)
+    gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
     gx = jnp.clip(gx, 0.0, H - 1.001)
     gy = jnp.clip(gy, 0.0, W - 1.001)
     x0 = jnp.floor(gx).astype(jnp.int32)
