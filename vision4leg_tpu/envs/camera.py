@@ -149,7 +149,7 @@ def _ray_spheres_t(eye, dirs, centers, radius, active):
 
 
 def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 56,
-                       chunk: int = 4, far_t: float = 10.5):
+                       chunk: int = 2, far_t: float = 10.5):
   """Fixed-step ray march against a height function, then 8 bisections.
 
   The march scans over step-chunks so the live intermediate is

@@ -141,15 +141,17 @@ def heightfield_fns(terrain: TerrainState):
       return jnp.einsum("...i,ij,...j->...", wx, grid, wy,
                         precision="highest") + terrain.hf_zoff
     if mxu_bulk:
-      wx = jnp.clip(1.0 - jnp.abs(gx[..., None] - jnp.arange(H)), 0.0, 1.0)
-      wy = jnp.clip(1.0 - jnp.abs(gy[..., None] - jnp.arange(W)), 0.0, 1.0)
-      # rows stays bf16 (the big transient: P x 128 per env); the final
-      # multiply-reduce accumulates in f32 and fuses without materializing
-      rows = jnp.einsum("...i,ij->...j", wx.astype(jnp.bfloat16),
-                        grid.astype(jnp.bfloat16),
+      # hat weights + rows stay bf16 (the big transients: P x 128 per
+      # env; f32 weights OOM'd 512-env hill rollouts); the final
+      # multiply-reduce upcasts inside the fusion and accumulates in f32
+      wx = jnp.clip(1.0 - jnp.abs(gx[..., None] - jnp.arange(H)),
+                    0.0, 1.0).astype(jnp.bfloat16)
+      wy = jnp.clip(1.0 - jnp.abs(gy[..., None] - jnp.arange(W)),
+                    0.0, 1.0).astype(jnp.bfloat16)
+      rows = jnp.einsum("...i,ij->...j", wx, grid.astype(jnp.bfloat16),
                         preferred_element_type=jnp.bfloat16)
-      return (jnp.sum(rows.astype(jnp.float32) * wy, axis=-1)
-              + terrain.hf_zoff)
+      return (jnp.sum(rows.astype(jnp.float32) * wy.astype(jnp.float32),
+                      axis=-1) + terrain.hf_zoff)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
     fx = gx - x0
