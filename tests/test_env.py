@@ -264,3 +264,22 @@ def test_heightfield_march_matches_dense_reference():
     # identical hit set post-clip; hit depths agree to the bisection
     # bracket width (~1 mm)
     np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_nonfinite_pose_terminates():
+  """A diverged env (NaN base pose) must terminate instead of propagating
+  NaN forever (NaN comparisons are False in every other done check; the
+  reference kills on NaN instead, collector/base.py:68-70)."""
+  from vision4leg_tpu.envs import tasks
+  cfg = tasks.TaskConfig()
+  ts = tasks.init_task_state(jnp.zeros(3), 1)
+  nan_pos = jnp.array([jnp.nan, 0.0, 0.25])
+  ok_quat = jnp.array([1.0, 0.0, 0.0, 0.0])
+  done = jax.jit(tasks.done, static_argnums=0)
+  assert bool(done(cfg, ts, nan_pos, ok_quat, jnp.array(False)))
+  nan_quat = jnp.array([jnp.nan] * 4)
+  assert bool(done(cfg, ts, jnp.array([0., 0., 0.25]), nan_quat,
+                   jnp.array(False)))
+  # finite, healthy pose does not terminate
+  assert not bool(done(cfg, ts, jnp.array([0., 0., 0.25]), ok_quat,
+                       jnp.array(False)))
