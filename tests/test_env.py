@@ -283,3 +283,26 @@ def test_nonfinite_pose_terminates():
   # finite, healthy pose does not terminate
   assert not bool(done(cfg, ts, jnp.array([0., 0., 0.25]), ok_quat,
                        jnp.array(False)))
+
+
+def test_mxu_bulk_lookup_matches_gather():
+  """The bf16 hat-weight matmul lookup (TPU bulk path) must match the
+  exact f32 4-corner gather to bf16 resolution (~3 cm worst case on
+  +-3 m hill heights — far below the simulated RealSense noise), across
+  terrains and random query points."""
+  from vision4leg_tpu.envs import terrain as terr
+  for gen in (terr.gen_hill, terr.gen_random_heightfield):
+    ts = gen(jax.random.PRNGKey(5))
+    xy = jax.random.uniform(jax.random.PRNGKey(6), (4096, 2),
+                            minval=-12.0, maxval=12.0)
+    try:
+      terr.FORCE_MXU_BULK = False
+      h, _ = terr.heightfield_fns(ts)
+      exact = jax.jit(h)(xy)
+      terr.FORCE_MXU_BULK = True
+      h2, _ = terr.heightfield_fns(ts)
+      approx = jax.jit(h2)(xy)
+    finally:
+      terr.FORCE_MXU_BULK = None
+    err = np.abs(np.asarray(exact) - np.asarray(approx))
+    assert err.max() < 0.04, err.max()

@@ -82,6 +82,10 @@ class TerrainState:
   obstacle_spheres: jnp.ndarray = None  # (Q, 5)
 
 
+# test hook: force the MXU hat-weight bulk path (None = by backend)
+FORCE_MXU_BULK = None
+
+
 def flat_height_fn(terrain: TerrainState):
   del terrain
   def h(xy):
@@ -116,7 +120,8 @@ def heightfield_fns(terrain: TerrainState):
   H, W = grid.shape
   cell = terrain.hf_cell
   SMALL_QUERY = 512
-  mxu_bulk = jax.default_backend() == "tpu"
+  mxu_bulk = (FORCE_MXU_BULK if FORCE_MXU_BULK is not None
+              else jax.default_backend() == "tpu")
 
   def _coords(xy):
     gx = (xy[..., 0] - terrain.hf_origin[0]) / cell
