@@ -1,16 +1,20 @@
 #!/bin/bash
-# Serial training queue (one TPU chip): hill rerun (post camera-OOM fix)
-# and a second thin-goal seed for seed-variance evidence.
+# Serial training queue: breadth runs across remaining terrain families.
 cd /root/repo
 set -x
 python starter/ppo_locotransformer.py \
-  --config config/rl/challenge/locotransformer/hill.json \
-  --seed 0 --log_dir runs --id hill_10M \
+  --config config/rl/challenge/locotransformer/stairs.json \
+  --seed 0 --log_dir runs --id stairs_10M \
   --num_epochs 611 --num_envs 1024 --overwrite \
-  > /tmp/train_hill.log 2>&1
+  > /tmp/train_stairs.log 2>&1
 python starter/ppo_locotransformer.py \
-  --config config/rl/static/locotransformer/thin-goal.json \
-  --seed 1 --log_dir runs --id thin_goal_10M \
+  --config config/rl/challenge/locotransformer/chair_desk.json \
+  --seed 0 --log_dir runs --id chair_desk_10M \
   --num_epochs 611 --num_envs 1024 --overwrite \
-  > /tmp/train_thin_seed1.log 2>&1
+  > /tmp/train_chair.log 2>&1
+python starter/ppo_locotransformer.py \
+  --config config/rl/static/frame_extract4_random_delay/thin-heightfield.json \
+  --seed 0 --log_dir runs --id mmdr_heightfield_10M \
+  --num_epochs 611 --num_envs 512 --overwrite \
+  > /tmp/train_hf.log 2>&1
 echo QUEUE_DONE
