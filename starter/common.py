@@ -87,6 +87,8 @@ def run_experiment(build_module):
       # makes Eval_Rewards_Average / best-snapshot selection far less noisy
       num_eval_envs=max(8, params["collector"].get("eval_episodes", 2)),
       obs_norm=meta["obs_norm"],
+      env_time_limit=meta["horizon"],
+      reward_scale=meta["reward_scale"],
   )
   agent.train(resume=args.resume)
   return agent

@@ -44,6 +44,7 @@ class PPOAgent:
                seed: int, logger, save_dir: str,
                eval_interval: int = 10, save_interval: int = 100,
                num_eval_envs: int = 2, obs_norm: bool = True,
+               env_time_limit: int = 1000, reward_scale: float = 1.0,
                mesh=None):
     self.env = env
     self.module = ac_module
@@ -85,11 +86,21 @@ class PPOAgent:
 
     horizon = cfg.epoch_frames // num_envs
     self.horizon = horizon
+    # CurriculumWrapperEnv (curriculum_wrapper_env.py:27-92): episode
+    # length ramped 1000 -> 2000 over 10M per-env steps (the builder
+    # leaves num_parallel_envs=1, so each env instance counts only its
+    # own steps).  The ramped cap feeds the collector's surpass
+    # threshold as a traced scalar each epoch (no recompilation).
+    self.curriculum = bool(getattr(env.cfg, "curriculum", False))
+    self._curric = (1000, 2000, 10_000_000)
+    if self.curriculum:
+      env_time_limit = max(env_time_limit, self._curric[1])
     act_low, act_high = env.action_low, env.action_high
     self.rollout = rollout_lib.make_rollout_fn(
         env, apply_pi, apply_v, horizon, cfg.max_episode_frames,
         cfg.discount, env.cfg.proprio_dim, obs_norm=obs_norm,
         update_normalizer=True, action_low=act_low, action_high=act_high,
+        env_time_limit=env_time_limit, reward_scale=reward_scale,
         apply_pi_v=apply_pi_v)
     self.collector_state = rollout_lib.init_collector(env, num_envs, k_coll)
 
@@ -124,8 +135,8 @@ class PPOAgent:
     self._rollout_jit = jax.jit(self.rollout)
     self._update_jit = jax.jit(self.learner.update_per_epoch)
 
-    def train_epoch(ts: PPOTrainState, cs, key):
-      cs, traj, last_value = self._rollout_jit(ts.params, cs)
+    def train_epoch(ts: PPOTrainState, cs, key, max_ep=None):
+      cs, traj, last_value = self._rollout_jit(ts.params, cs, max_ep)
       ts, metrics = self._update_jit(ts, traj, last_value, key)
       metrics["Training/avg_reward"] = traj.rewards.mean()
       # NaN guard (BaseCollector's per-step obs check, collector/base.py):
@@ -134,6 +145,14 @@ class PPOAgent:
           ~jnp.isfinite(traj.obs)).astype(jnp.float32)
       metrics["diagnostics/nonfinite_reward"] = jnp.sum(
           ~jnp.isfinite(traj.rewards)).astype(jnp.float32)
+      # eval-collapse telemetry (VERDICT r1 item 7): obs-normalizer drift
+      # and terminal rate per epoch — a late-training reward crash with a
+      # rising terminal rate and moving normalizer implicates obs-stat
+      # drift; a stable normalizer points at the policy/entropy schedule
+      nrm = cs.normalizer
+      metrics["diagnostics/obs_norm_mean_l2"] = jnp.linalg.norm(nrm.mean)
+      metrics["diagnostics/obs_norm_var_max"] = jnp.max(nrm.var)
+      metrics["diagnostics/terminal_rate"] = traj.terminals.mean()
       return ts, cs, metrics
 
     self._train_epoch = train_epoch
@@ -186,6 +205,27 @@ class PPOAgent:
     self.total_frames = ckpt["total_frames"]
     return int(ckpt["epoch"]) + 1
 
+  def _curriculum_episode_cap(self):
+    """Per-epoch episode-length cap from the curriculum ramp, or None.
+
+    curriculum_wrapper_env.py:82-92 (cubic ramp on per-env step count).
+    Note the reference's shipped wrapper ORDER makes its ramp inert — the
+    static gym TimeLimit(1000) sits outside the curriculum wrapper and
+    its collector surpass cuts at max_episode_frames anyway; here the
+    ramp drives the collector cap directly, which is what the wrapper
+    intends."""
+    if not self.curriculum:
+      return None
+    from vision4leg_tpu.envs import wrappers
+    start, end, total = self._curric
+    # each env instance counts its own steps, and the builder passes
+    # num_parallel_envs=8 (env_builder.py:350-354), which divides the
+    # ramp length by 8
+    per_env_steps = jnp.asarray(self.total_frames // self.num_envs)
+    return wrappers.curriculum_episode_length(
+        per_env_steps, episode_length_start=start, episode_length_end=end,
+        curriculum_steps=total, num_parallel_envs=8)
+
   def snapshot(self, suffix: str):
     """Save params + normalizer (rl_algo.py:84-95 naming scheme)."""
     path = osp.join(self.save_dir, f"model_pf_{suffix}.flax")
@@ -205,8 +245,9 @@ class PPOAgent:
     for epoch in range(start_epoch, cfg.num_epochs):
       t0 = time.time()
       self.key, k_up, k_ev = jax.random.split(self.key, 3)
+      max_ep = self._curriculum_episode_cap()
       self.train_state, self.collector_state, metrics = self._train_epoch(
-          self.train_state, self.collector_state, k_up)
+          self.train_state, self.collector_state, k_up, max_ep)
       jax.block_until_ready(metrics)
       train_time = time.time() - t0
       self.total_frames += cfg.epoch_frames
@@ -217,9 +258,12 @@ class PPOAgent:
       if fin > 0:
         infos["Running_Average_Rewards"] = float(
             np.asarray(cs.finished_returns_sum)) / fin
+        infos["Running_Average_Eplen"] = float(
+            np.asarray(cs.finished_len_sum)) / fin
       self.collector_state = cs.replace(
           finished_returns_sum=jnp.zeros(()),
-          finished_count=jnp.zeros(()))
+          finished_count=jnp.zeros(()),
+          finished_len_sum=jnp.zeros(()))
       infos["Train___Time"] = train_time
 
       if (epoch + 1) % self.eval_interval == 0:

@@ -52,6 +52,7 @@ class CollectorState:
   normalizer: norm.NormalizerState
   finished_returns_sum: jnp.ndarray  # () sum of finished-episode returns
   finished_count: jnp.ndarray        # () number of finished episodes
+  finished_len_sum: jnp.ndarray      # () sum of finished-episode lengths
   key: jax.Array
 
 
@@ -68,6 +69,7 @@ def init_collector(env, num_envs: int, key: jax.Array) -> CollectorState:
       normalizer=norm.init_normalizer(env.cfg.proprio_dim),
       finished_returns_sum=jnp.zeros(()),
       finished_count=jnp.zeros(()),
+      finished_len_sum=jnp.zeros(()),
       key=k_state,
   )
 
@@ -78,12 +80,27 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
                     update_normalizer: bool = True,
                     action_low=None, action_high=None,
                     env_time_limit: int = 1000,
-                    apply_pi_v: Callable = None):
-  """Build `rollout(params, collector_state) -> (state, Transition, last_v)`.
+                    reward_scale: float = 1.0,
+                    apply_pi_v: Callable = None,
+                    act_fn: Callable = None):
+  """Build `rollout(params, collector_state, max_ep) -> (state, Transition,
+  last_v)`.
 
   apply_pi(params, obs) -> (mean, std, logstd); apply_v(params, obs) -> (B,1).
   action_low/high: env action bounds for the NormAct tanh mapping
   (continuous_wrapper.py:19-22).
+  reward_scale: RewardShift's train-time reward scaling (base_wrapper.py:
+  32-41); =1 in all shipped configs.  Applied before episode bookkeeping,
+  matching the wrapper sitting below the collector.
+  max_ep: traced per-call episode-length cap (the collector `surpass`
+  threshold).  Static in normal training (cfg.max_episode_frames); the
+  curriculum schedule (curriculum_wrapper_env.py:27-92) ramps it
+  1000 -> 2000 over 10M per-env steps without recompiling.
+  act_fn: optional action-path override,
+  `act_fn(params, obs, key) -> (act, logp, env_act, mean, std)` — the
+  hierarchical collector (on_policy_hierarchical.py:17-95) swaps in a
+  high-level policy whose action a frozen low-level policy translates to
+  motor commands; the stored (act, logp, mean, std) train the HIGH level.
   """
 
   def normalize(nstate, raw):
@@ -92,7 +109,7 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     return norm.filt_with_img_tail(nstate, raw, proprio_dim)
 
   def step_fn(carry, _):
-    params, cs = carry
+    params, max_ep, cs = carry
     key, k_act = jax.random.split(cs.key)
 
     nstate = cs.normalizer
@@ -101,21 +118,26 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
       nstate = norm.update(nstate, cs.raw_obs[..., :proprio_dim])
     obs = normalize(nstate, cs.raw_obs)
 
-    if apply_pi_v is not None:
+    if act_fn is not None:
+      act, log_prob, env_act, mean, std = act_fn(params, obs, k_act)
+      value = apply_v(params, obs)
+    elif apply_pi_v is not None:
       # fused policy+value: shared encoder computed once per step
       (mean, std, _), value = apply_pi_v(params, obs)
     else:
       mean, std, _ = apply_pi(params, obs)
       value = apply_v(params, obs)
-    noise = jax.random.normal(k_act, mean.shape)
-    act = mean + std * noise
-    log_prob = jnp.sum(
-        -0.5 * (noise**2) - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi),
-        axis=-1, keepdims=True)
+    if act_fn is None:
+      noise = jax.random.normal(k_act, mean.shape)
+      act = mean + std * noise
+      log_prob = jnp.sum(
+          -0.5 * (noise**2) - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi),
+          axis=-1, keepdims=True)
 
-    # NormAct: tanh + affine rescale into env action bounds
-    env_act = jnp.tanh(act)
-    env_act = action_low + (env_act + 1.0) * 0.5 * (action_high - action_low)
+      # NormAct: tanh + affine rescale into env action bounds
+      env_act = jnp.tanh(act)
+      env_act = action_low + (env_act + 1.0) * 0.5 * (action_high
+                                                      - action_low)
 
     # step_batch lets the env run the action-repeat physics window as one
     # Pallas kernel over all envs (ops/physics_kernel.py) instead of
@@ -126,13 +148,14 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     else:
       env_states, next_raw, rew, done, _ = jax.vmap(env.step)(
           cs.env_states, env_act)
+    rew = rew * reward_scale
     ep_steps = cs.ep_steps + 1
     # gym TimeLimit at the env horizon (get_env.py:79-84): done=True with
     # info['time_limit']; with the shipped configs (horizon 1000 >
     # max_episode_frames 999) the collector surpass below always fires first
     tl_done = ep_steps >= env_time_limit
     done = done | tl_done
-    surpass = ep_steps >= max_episode_frames
+    surpass = ep_steps >= max_ep
     terminal = done | surpass
 
     # episode-return bookkeeping uses the raw reward (collector train_rew
@@ -150,6 +173,8 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     rew = jax.lax.cond(jnp.any(surpass), bootstrap, lambda r: r, rew)
     fin_sum = cs.finished_returns_sum + jnp.sum(ep_return * terminal)
     fin_cnt = cs.finished_count + jnp.sum(terminal)
+    fin_len = cs.finished_len_sum + jnp.sum(
+        ep_steps.astype(jnp.float32) * terminal)
 
     # partial reset of finished envs; the whole reset path (terrain gen,
     # template placement, first camera frame) only runs on steps where at
@@ -176,16 +201,19 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     new_cs = cs.replace(
         env_states=env_states, raw_obs=next_raw, ep_steps=ep_steps,
         ep_return=ep_return, normalizer=nstate,
-        finished_returns_sum=fin_sum, finished_count=fin_cnt, key=key)
+        finished_returns_sum=fin_sum, finished_count=fin_cnt,
+        finished_len_sum=fin_len, key=key)
     tr = Transition(
         obs=obs, acts=act, log_probs=log_prob, values=value,
         rewards=rew[..., None], terminals=terminal[..., None],
         time_limits=tl_done[..., None], means=mean, stds=std)
-    return (params, new_cs), tr
+    return (params, max_ep, new_cs), tr
 
-  def rollout(params, cs: CollectorState):
-    (params, cs), traj = jax.lax.scan(step_fn, (params, cs), None,
-                                      length=horizon)
+  def rollout(params, cs: CollectorState, max_ep=None):
+    if max_ep is None:
+      max_ep = jnp.asarray(max_episode_frames, jnp.int32)
+    (params, _, cs), traj = jax.lax.scan(step_fn, (params, max_ep, cs),
+                                         None, length=horizon)
     # bootstrap value for GAE: V(current obs) * (1 - terminal_last)
     obs = normalize(cs.normalizer, cs.raw_obs)
     last_value = apply_v(params, obs)[..., 0]
