@@ -325,11 +325,13 @@ def gen_stairs(key: jax.Array) -> TerrainState:
 
 
 def _gaussian_landscape(key, n, cell, num_bumps, height_scale,
-                        flat_radius, extent):
+                        flat_radius, extent,
+                        sigma_min=0.8, sigma_max=3.0):
   ks = jax.random.split(key, 3)
   centers = jax.random.uniform(ks[0], (num_bumps, 2), minval=-extent,
                                maxval=extent)
-  sigmas = jax.random.uniform(ks[1], (num_bumps,), minval=0.8, maxval=3.0)
+  sigmas = jax.random.uniform(ks[1], (num_bumps,), minval=sigma_min,
+                              maxval=sigma_max)
   amps = jax.random.uniform(ks[2], (num_bumps,), minval=0.3,
                             maxval=1.0) * height_scale
   xs = (jnp.arange(n) - n / 2) * cell
@@ -337,18 +339,35 @@ def _gaussian_landscape(key, n, cell, num_bumps, height_scale,
   pts = jnp.stack([gx, gy], axis=-1)
   d2 = jnp.sum((pts[:, :, None, :] - centers[None, None]) ** 2, axis=-1)
   grid = jnp.sum(amps * jnp.exp(-d2 / (2 * sigmas**2)), axis=-1)
-  # flatten the start area
-  r2 = gx**2 + gy**2
-  grid = grid * jnp.clip((jnp.sqrt(r2) - flat_radius) / flat_radius, 0, 1)
+  # flatten the start area; the blend ramps over `ramp` meters with a
+  # cosine profile so the ring around the start stays walkable (a linear
+  # ramp over flat_radius added slope = h/flat_radius ~ 45 deg at 1.5 m
+  # relief — the r1 hill's steepest feature)
+  r = jnp.sqrt(gx**2 + gy**2)
+  ramp = 4.0
+  frac = jnp.clip((r - flat_radius) / ramp, 0.0, 1.0)
+  grid = grid * 0.5 * (1.0 - jnp.cos(jnp.pi * frac))
   return grid
 
 
 def gen_hill(key: jax.Array) -> TerrainState:
-  """Procedural stand-in for heightmaps/ground0.txt (0.2 z-scale hills)."""
+  """Procedural stand-in for heightmaps/ground0.txt (0.2 z-scale hills).
+
+  Amplitude calibration (r2 hill-failure diagnosis): the reference loads
+  pybullet_data's ground0.txt at meshScale [.2,.2,.2]
+  (a1_randomizer_ground.py:995-1010) — the SAME file pybullet's own
+  heightfield demo renders at z-scale 2.5, i.e. the reference's hills
+  are ~12x gentler than the demo's.  Round 1 used height_scale=2.0
+  (measured: mean slope 27 deg, p90 50 deg, max 68 deg) which no A1 can
+  walk (hardware limit ~20-25 deg) — the policy never locomoted over
+  10M steps.  Retuned to rolling hills: mean slope ~5 deg, p90 ~12 deg,
+  max < 20 deg, total relief ~1 m over the 25.6 m grid, matching the
+  0.2-z-scale reference scale."""
   n = 128
   cell = 0.2
-  grid = _gaussian_landscape(key, n, cell, num_bumps=40, height_scale=2.0,
-                             flat_radius=1.5, extent=10.0)
+  grid = _gaussian_landscape(key, n, cell, num_bumps=40, height_scale=0.35,
+                             flat_radius=1.5, extent=11.0,
+                             sigma_min=1.6, sigma_max=4.0)
   ts = _empty(num_boxes=0, hf_n=n)
   return ts.replace(height=grid, hf_cell=jnp.asarray(cell),
                     hf_origin=jnp.asarray([-n / 2 * cell, -n / 2 * cell]),
