@@ -21,8 +21,12 @@ def repair(path: str) -> None:
   header, data = rows[0], rows[1:]
   assert header[-1] == "Train___Time", header
   has_rar = "Running_Average_Rewards" in header
-  if has_rar and all(len(r) in (len(header), len(header) + 2)
-                     for r in data) is False:
+  # valid extras over the frozen header: headers WITH RAR can only gain
+  # the two Eval_* columns (0 or 2); headers WITHOUT it can also gain the
+  # positional RAR insert (0..3).  Anything else is malformed — skip
+  # instead of mis-assigning columns below.
+  allowed = (0, 2) if has_rar else (0, 1, 2, 3)
+  if not all(len(r) - len(header) in allowed for r in data):
     print(f"{path}: unexpected row lengths, skipping")
     return
   n = len(header)

@@ -201,8 +201,18 @@ def _ray_heightfield_t(eye, dirs, height_fn, n_steps: int = 56,
 def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
                  terrain: TerrainState, height_fn, flat: bool,
                  show_subgoals: bool,
-                 max_boxes: int = MAX_RENDER_BOXES) -> jnp.ndarray:
-  """(64, 64) linearized depth (view-axis meters), background ~inf->far."""
+                 max_boxes: int | None = None,
+                 far_t: float = 10.5) -> jnp.ndarray:
+  """(64, 64) linearized depth (view-axis meters), background ~inf->far.
+
+  max_boxes: frustum-prune cap; None means the module-level
+  MAX_RENDER_BOXES read at CALL time (late-bound so tests can override
+  the global, like the sphere cap below).
+  far_t: heightfield march range.  10.5 is post-clip exact only when the
+  depth passes preprocess_depth's 10 m clip (cfg.depth_image=True); the
+  env passes 20.0 (the raw far plane) when it doesn't."""
+  if max_boxes is None:
+    max_boxes = MAX_RENDER_BOXES
   eye, dirs = camera_rays(trunk_pos, trunk_rot)
   # exact view frame (rays are f + offsets in the image plane, so the hit
   # parameter t of any ray equals dot(hit - eye, f): true view depth)
@@ -215,7 +225,7 @@ def render_depth(trunk_pos: jnp.ndarray, trunk_rot: jnp.ndarray,
   if flat:
     t = _ray_plane_t(eye, dirs, jnp.asarray(0.0))
   else:
-    t = _ray_heightfield_t(eye, dirs, height_fn)
+    t = _ray_heightfield_t(eye, dirs, height_fn, far_t=far_t)
   if terrain.boxes.shape[0] > 0:
     boxes = terrain.boxes
     if boxes.shape[0] > max_boxes:

@@ -402,7 +402,10 @@ class A1GymEnv:
           state.robot.phys.pos, kin_R, state.terrain, h_fn, self._flat,
           show_subgoals=cfg.subgoal_reward is not None,
           max_boxes=terr.RENDER_BOX_CAPS.get(cfg.terrain_type,
-                                             cam.MAX_RENDER_BOXES))
+                                             cam.MAX_RENDER_BOXES),
+          # without the 10 m preprocess clip (depth_image=False, unused
+          # by shipped configs), march to the true 20 m far plane
+          far_t=10.5 if cfg.depth_image else 20.0)
       if cfg.depth_image:
         depth = cam.preprocess_depth(depth, k_blind, blind_spots=True)
     if reset:
