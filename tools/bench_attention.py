@@ -1,0 +1,88 @@
+"""Decide the Pallas fused transformer layer's fate with a measurement.
+
+VERDICT r1 item 8c: ops/attention.py (fused QKV+attention+FFN+LN layer)
+is tested but unwired; either integrate it into rollout inference or
+document the measured reason it isn't needed.  This benchmark times, on
+the real TPU at rollout shapes (LocoTransformer: T=17 tokens of width
+d_model, batch = num_envs):
+
+  (a) the flax TransformerEncoderLayer forward (what models/base.py runs),
+  (b) the Pallas fused layer `fused_transformer_layer`,
+  (c) a full LocoTransformerActorCritic pi_v forward (the whole per-step
+      policy cost, for scale).
+
+Writes runs/attention_bench.json and prints it.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_v4l"))
+
+from vision4leg_tpu.models.base import TransformerEncoderLayer
+from vision4leg_tpu.ops import attention as pat
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "runs", "attention_bench.json")
+
+
+def _time(fn, *args, n=50):
+  out = fn(*args)
+  jax.block_until_ready(out)
+  t0 = time.time()
+  for _ in range(n):
+    out = fn(*args)
+  jax.block_until_ready(out)
+  return (time.time() - t0) / n
+
+
+def main():
+  results = {"backend": jax.default_backend()}
+  key = jax.random.PRNGKey(0)
+  for B in (512, 1024):
+    for D in (64, 256):
+      T, F = 17, 4 * D
+      layer = TransformerEncoderLayer(d_model=D, n_head=1,
+                                      dim_feedforward=F)
+      x = jax.random.normal(key, (B, T, D), jnp.float32) * 0.5
+      params = layer.init(key, x)
+      w = pat.weights_from_flax(params["params"], D)
+
+      flax_t = _time(jax.jit(lambda p, x: layer.apply(p, x)), params, x)
+      pallas_t = _time(jax.jit(pat.fused_transformer_layer), x, w)
+      results[f"B{B}_D{D}"] = {
+          "flax_layer_us": round(flax_t * 1e6, 1),
+          "pallas_layer_us": round(pallas_t * 1e6, 1),
+          "speedup": round(flax_t / pallas_t, 2),
+      }
+      print(f"B={B} D={D}: flax {flax_t*1e6:.0f} us, "
+            f"pallas {pallas_t*1e6:.0f} us, x{flax_t/pallas_t:.2f}")
+
+  # whole-policy scale: one pi_v forward at thin-goal shapes
+  from vision4leg_tpu.models.actor_critic import LocoTransformerActorCritic
+  module = LocoTransformerActorCritic(
+      action_dim=6, state_input_shape=84, visual_input_shape=(4, 64, 64),
+      encoder_hidden_shapes=(256, 256),
+      transformer_params=((1, 256), (1, 256)),
+      append_hidden_shapes=(256, 256))
+  obs = jnp.zeros((1024, 84 + 4 * 64 * 64), jnp.float32)
+  p = module.init(jax.random.PRNGKey(1), obs[:1])
+
+  def pi_v(p, o):
+    return module.apply(p, o, method=module.pi_v)
+
+  results["pi_v_1024_us"] = round(_time(jax.jit(pi_v), p, obs, n=20) * 1e6,
+                                  1)
+  print(f"full pi_v @1024: {results['pi_v_1024_us']:.0f} us")
+
+  with open(OUT, "w") as f:
+    json.dump(results, f, indent=2)
+  print(json.dumps(results))
+
+
+if __name__ == "__main__":
+  main()
