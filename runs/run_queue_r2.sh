@@ -19,7 +19,7 @@ run() {  # run <id> <config> <num_envs> [extra args...]
   for i in $(seq 1 12); do
     RESUME=""
     [ -e "runs/$id/A1MoveGround/0/model/checkpoint" ] && RESUME="--resume"
-    python starter/ppo_locotransformer.py \
+    timeout 7200 python starter/ppo_locotransformer.py \
       --config "$cfg" --seed 0 --log_dir runs --id "$id" \
       --num_epochs 611 --num_envs "$envs" $RESUME "$@" \
       >> "/tmp/train_$id.log" 2>&1 && { echo "DONE $id" >> /tmp/queue_r2.log; return; }
@@ -34,7 +34,7 @@ run_state() {  # state-only starter variant
   for i in $(seq 1 12); do
     RESUME=""
     [ -e "runs/$id/A1MoveGround/0/model/checkpoint" ] && RESUME="--resume"
-    python starter/ppo_state.py \
+    timeout 7200 python starter/ppo_state.py \
       --config config/rl/static/state-only-baseline.json \
       --seed 0 --log_dir runs --id "$id" \
       --num_epochs 611 --num_envs "$envs" $RESUME "$@" \
