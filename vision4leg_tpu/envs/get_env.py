@@ -51,6 +51,14 @@ def get_env(env_name: str, env_params: dict):
   """Returns (env, meta) where meta carries reward_scale / obs_norm /
   horizon for the collector layer (get_env.py:70-130 wrapper semantics)."""
   env_build = dict(env_params.get("env_build", {}))
+  if "rew_norm" in env_params:
+    # NormRet (base_wrapper.py:125-148) is implemented and tested
+    # (envs/wrappers.py norm_ret_step) but not plumbed into the rollout;
+    # no shipped config uses it — reject rather than silently ignore
+    raise NotImplementedError(
+        "rew_norm: running-return normalization is not wired into the "
+        "collector (wrappers.norm_ret_step exists; no shipped config "
+        "sets rew_norm)")
   meta = {
       "reward_scale": env_params.get("reward_scale", 1.0),
       "obs_norm": env_params.get("obs_norm", False),
