@@ -94,3 +94,34 @@ def test_rew_norm_rejected_not_ignored():
   with pytest.raises(NotImplementedError):
     get_env("A1MoveGround", {"rew_norm": {}, "env_build": {
         "motor_control_mode": "POSITION", "terrain_type": "plane"}})
+
+
+def test_reward_scale_scales_training_rewards():
+  """RewardShift semantics (base_wrapper.py:32-41): the collector's
+  rewards and episode returns scale by reward_scale during training."""
+  env = A1GymEnv(EnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.05, 0.5, 0.5) * 4,
+      time_step_s=0.0025, num_action_repeat=4, diagonal_act=True,
+      terrain_type="plane", settle_steps=20))
+  module = StateActorCritic(action_dim=6, hidden_shapes=(16, 16),
+                            append_hidden_shapes=(16, 16))
+  params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, env.obs_dim)))
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  def build(scale):
+    return jax.jit(rollout_lib.make_rollout_fn(
+        env, apply_pi, apply_v, horizon=5, max_episode_frames=999,
+        discount=0.99, proprio_dim=env.cfg.proprio_dim, obs_norm=False,
+        action_low=env.action_low, action_high=env.action_high,
+        reward_scale=scale))
+
+  cs0 = rollout_lib.init_collector(env, 3, jax.random.PRNGKey(1))
+  _, t1, _ = build(1.0)(params, cs0)
+  _, t2, _ = build(2.0)(params, cs0)
+  np.testing.assert_allclose(np.asarray(t2.rewards),
+                             2.0 * np.asarray(t1.rewards), rtol=1e-6)
