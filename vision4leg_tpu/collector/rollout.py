@@ -158,8 +158,9 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
     surpass = ep_steps >= max_ep
     terminal = done | surpass
 
-    # episode-return bookkeeping uses the raw reward (collector train_rew
-    # accumulates before the bootstrap modification, on_policy.py:124-141)
+    # episode-return bookkeeping uses the post-RewardShift reward but NOT
+    # the bootstrap modification (the wrapper sits below the collector;
+    # train_rew accumulates before the bootstrap, on_policy.py:124-141)
     ep_return = cs.ep_return + rew
 
     # time-limit value bootstrap folded into rewards (on_policy.py:128-143);
