@@ -79,9 +79,12 @@ def main():
       epoch_frames=epoch_frames,
       max_episode_frames=params["collector"]["max_episode_frames"])
 
+  # V4L_BENCH_BF16=1: collection-policy forward in bfloat16 (the PPO
+  # update stays f32) — see make_rollout_fn(inference_dtype)
+  inf_dtype = jnp.bfloat16 if os.environ.get("V4L_BENCH_BF16") else None
   agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
                    seed=0, logger=_NullLogger(), save_dir="/tmp/v4l_bench",
-                   obs_norm=meta["obs_norm"])
+                   obs_norm=meta["obs_norm"], inference_dtype=inf_dtype)
 
   # warm up: compile + the first couple of executions after compilation run
   # several times slower on this backend (executable paging); measure

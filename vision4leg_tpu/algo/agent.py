@@ -45,7 +45,7 @@ class PPOAgent:
                eval_interval: int = 10, save_interval: int = 100,
                num_eval_envs: int = 2, obs_norm: bool = True,
                env_time_limit: int = 1000, reward_scale: float = 1.0,
-               mesh=None):
+               inference_dtype=None, mesh=None):
     self.env = env
     self.module = ac_module
     self.cfg = cfg
@@ -101,7 +101,7 @@ class PPOAgent:
         cfg.discount, env.cfg.proprio_dim, obs_norm=obs_norm,
         update_normalizer=True, action_low=act_low, action_high=act_high,
         env_time_limit=env_time_limit, reward_scale=reward_scale,
-        apply_pi_v=apply_pi_v)
+        apply_pi_v=apply_pi_v, inference_dtype=inference_dtype)
     self.collector_state = rollout_lib.init_collector(env, num_envs, k_coll)
 
     # deterministic eval rollout (collector/base.py:235-288: eval_act=mean,

@@ -82,7 +82,8 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
                     env_time_limit: int = 1000,
                     reward_scale: float = 1.0,
                     apply_pi_v: Callable = None,
-                    act_fn: Callable = None):
+                    act_fn: Callable = None,
+                    inference_dtype=None):
   """Build `rollout(params, collector_state, max_ep) -> (state, Transition,
   last_v)`.
 
@@ -101,12 +102,41 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
   hierarchical collector (on_policy_hierarchical.py:17-95) swaps in a
   high-level policy whose action a frozen low-level policy translates to
   motor commands; the stored (act, logp, mean, std) train the HIGH level.
+  inference_dtype: optional reduced precision (jnp.bfloat16) for the
+  COLLECTION policy/value forward only — params and obs cast down at the
+  apply boundary, (mean, std, value) cast back to f32 so sampling,
+  log-prob, and the stored behavior stats stay f32 and self-consistent.
+  The MXU runs bf16 matmuls 2-4x faster than f32; the PPO update still
+  recomputes log-probs in f32, so the first-minibatch ratio deviates
+  from 1 by the tiny collection-precision gap (clip-covered).  Off by
+  default; parity tests and shipped configs use f32.
   """
 
   def normalize(nstate, raw):
     if not obs_norm:
       return raw
     return norm.filt_with_img_tail(nstate, raw, proprio_dim)
+
+  if inference_dtype is not None:
+    _pi, _v, _pi_v = apply_pi, apply_v, apply_pi_v
+
+    def _cast_params(p):
+      return jax.tree.map(
+          lambda x: x.astype(inference_dtype)
+          if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
+    def _f32(t):
+      return jax.tree.map(lambda x: x.astype(jnp.float32), t)
+
+    def apply_pi(p, x):  # noqa: F811 — reduced-precision shadows
+      return _f32(_pi(p, x.astype(inference_dtype)))
+
+    def apply_v(p, x):  # noqa: F811
+      return _f32(_v(p, x.astype(inference_dtype)))
+
+    if _pi_v is not None:
+      def apply_pi_v(p, x):  # noqa: F811
+        return _f32(_pi_v(p, x.astype(inference_dtype)))
 
   def step_fn(carry, _):
     params, max_ep, cs = carry
@@ -213,6 +243,9 @@ def make_rollout_fn(env, apply_pi: Callable, apply_v: Callable,
   def rollout(params, cs: CollectorState, max_ep=None):
     if max_ep is None:
       max_ep = jnp.asarray(max_episode_frames, jnp.int32)
+    if inference_dtype is not None:
+      # one down-cast of the weights per epoch, reused by every step
+      params = _cast_params(params)
     (params, _, cs), traj = jax.lax.scan(step_fn, (params, max_ep, cs),
                                          None, length=horizon)
     # bootstrap value for GAE: V(current obs) * (1 - terminal_last)
