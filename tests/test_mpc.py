@@ -232,3 +232,76 @@ def test_static_gait_steps_and_stays_up():
   zs = np.array(zs)
   assert np.all(zs > 0.15) and np.all(zs < 0.40), zs
   assert steps_started >= 1, "no foot step was ever triggered"
+
+
+def test_convex_mpc_standing_all_robots():
+  """The MPC math is robot-agnostic given a RobotMpcParams set
+  (mpc_controller/{a1,laikago,spirit40}_sim.py constants): for each robot,
+  four-feet stance at its own body height must recover the QP's optimum.
+
+  The expected totals are the x64 ADMM fixed points (2000 iters, same
+  code under JAX_ENABLE_X64): with the reference _MPC_WEIGHTS the
+  condensed tracking objective's optimum sits ~18% above mg for all
+  three robots, so the assertion targets the optimum, not mg.  The a1
+  row uses a1_sim.py's tiny SRB inertia ((0.017,0.057,0.064)*0.1) — the
+  ill-conditioned case that motivated Ruiz equilibration in
+  _admm_box_qp (f32 lands within ~7% of the x64 fixed point there)."""
+  from vision4leg_tpu.mpc.convex_mpc import MpcConfig, compute_contact_forces
+  from vision4leg_tpu.mpc import robot_params
+
+  expected_total_fz = {"a1": 126.5, "laikago": 253.9, "spirit40": 139.4}
+  for name, rp in robot_params.ROBOTS.items():
+    cfg = MpcConfig(
+        mass=rp.body_mass,
+        inertia=tuple(float(x) for x in rp.body_inertia),
+        qp_weights=(5, 5, 0.2, 0, 0, 10, 0., 0., 1., 1., 1., 0., 0),
+        admm_iters=200)
+    feet = np.asarray(
+        [[hx, hy, -rp.body_height] for hx, hy, _ in rp.hip_positions],
+        np.float32)
+    forces = np.array(compute_contact_forces(
+        cfg,
+        jnp.array([0.0, 0.0, rp.body_height]),
+        jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+        jnp.ones(4, jnp.int32),
+        jnp.asarray(feet),
+        jnp.full(4, 0.45),
+        jnp.array([0.0, 0.0, rp.body_height]),
+        jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+    ))
+    total_fz = float(-forces[:, 2].sum())
+    weight = rp.body_mass * 9.8
+    exp = expected_total_fz[name]
+    assert abs(total_fz - exp) / exp < 0.10, (name, total_fz, exp)
+    # physical sanity: supports the body, roughly even split
+    assert 0.75 * weight < total_fz < 1.5 * weight, (name, total_fz, weight)
+    assert np.all(-forces[:, 2] > 0.1 * weight / 4), (name, forces[:, 2])
+
+
+def test_native_mpc_standing_all_robots():
+  """The C++ core (f64, Jacobi equilibration + adaptive rho) must hit the
+  x64 ADMM fixed points for every robot's standing QP — including
+  a1_sim.py's tiny SRB inertia, which stalls an unequilibrated ADMM near
+  u=0 (the reference survives it because OSQP equilibrates too)."""
+  import sys
+  import os.path as osp
+  sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                              "vision4leg_tpu/mpc/native"))
+  import mpc_osqp
+  from vision4leg_tpu.mpc import robot_params
+
+  weights = (5, 5, 0.2, 0, 0, 10, 0., 0., 1., 1., 1., 0., 0)
+  expected_total_fz = {"a1": 126.5, "laikago": 253.9, "spirit40": 139.4}
+  for name, rp in robot_params.ROBOTS.items():
+    native = mpc_osqp.ConvexMpc(rp.body_mass, list(rp.body_inertia), 4, 10,
+                                0.025, list(weights), 1e-5)
+    feet = np.asarray(
+        [[hx, hy, -rp.body_height] for hx, hy, _ in rp.hip_positions])
+    f = np.array(native.compute_contact_forces(
+        [0.0, 0.0, rp.body_height], np.zeros(3), np.zeros(3), np.zeros(3),
+        np.ones(4, np.int32), feet.flatten(), np.full(4, 0.45),
+        [0.0, 0.0, rp.body_height], np.zeros(3), np.zeros(3),
+        np.zeros(3))[:12]).reshape(4, 3)
+    total_fz = float(-f[:, 2].sum())
+    exp = expected_total_fz[name]
+    assert abs(total_fz - exp) / exp < 0.02, (name, total_fz, exp)

@@ -99,14 +99,46 @@ def _friction_cone_rows(mu):
   ])
 
 
+def _ruiz_equilibrate(P, q, A, lb, ub, iters: int = 10):
+  """Modified Ruiz equilibration of the QP data (OSQP sec. 5.1).
+
+  Iteratively scales variables by D and constraints by E so every
+  row/column of the stacked [[P, A^T], [A, 0]] matrix has unit inf-norm.
+  Without this, SRB inertias like a1_sim.py's (0.017,0.057,0.064)*0.1
+  give the condensed P a ~1e7+ dynamic range (B entries carry 1/I), which
+  is beyond what an f32 Cholesky can factor usefully — the reference gets
+  away with it because OSQP both equilibrates AND runs f64.  Returns the
+  scaled problem plus D so the solution can be unscaled (x = D x_bar)."""
+  n, m = P.shape[0], A.shape[0]
+  D = jnp.ones(n)
+  E = jnp.ones(m)
+  for _ in range(iters):   # static unroll: tiny (n+m) work per pass
+    Ps = D[:, None] * P * D[None, :]
+    As = E[:, None] * A * D[None, :]
+    col = jnp.maximum(jnp.max(jnp.abs(Ps), axis=0),
+                      jnp.max(jnp.abs(As), axis=0))
+    row = jnp.max(jnp.abs(As), axis=1)
+    D = D / jnp.sqrt(jnp.maximum(col, 1e-12))
+    E = E / jnp.sqrt(jnp.maximum(row, 1e-12))
+  # cost normalization (OSQP's c): bring the scaled objective to O(1)
+  Ps = D[:, None] * P * D[None, :]
+  c = 1.0 / jnp.maximum(
+      jnp.maximum(jnp.mean(jnp.max(jnp.abs(Ps), axis=0)),
+                  jnp.max(jnp.abs(D * q))), 1e-12)
+  return (c * Ps, c * D * q, E[:, None] * A * D[None, :],
+          E * lb, E * ub, D)
+
+
 def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float,
                  adapt_every: int = 25):
   """OSQP-style ADMM for min 1/2 x^T P x + q^T x, s.t. lb <= A x <= ub.
 
-  rho starts scaled to the problem magnitude and is re-balanced every
-  `adapt_every` iterations by the primal/dual residual ratio (OSQP's
-  adaptive-rho rule), with a fresh Cholesky refactorization — the
-  factorizations are tiny (<= ~120x120) so this stays cheap on device."""
+  The data is Ruiz-equilibrated first (see _ruiz_equilibrate); rho starts
+  scaled to the problem magnitude and is re-balanced every `adapt_every`
+  iterations by the primal/dual residual ratio (OSQP's adaptive-rho
+  rule), with a fresh Cholesky refactorization — the factorizations are
+  tiny (<= ~120x120) so this stays cheap on device."""
+  P, q, A, lb, ub, D = _ruiz_equilibrate(P, q, A, lb, ub)
   n = P.shape[0]
   m = A.shape[0]
   scale = jnp.maximum(jnp.trace(P) / n, 1e-9)
@@ -150,7 +182,7 @@ def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float,
   y0 = jnp.zeros(m)
   (x, z, y, _), _ = jax.lax.scan(outer, (x0, z0, y0, rho0), None,
                                  length=n_outer)
-  return x
+  return D * x
 
 
 @functools.partial(jax.jit, static_argnums=0)

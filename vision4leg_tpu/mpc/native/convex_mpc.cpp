@@ -408,30 +408,68 @@ int mpc_compute_contact_forces(
   double mu = foot_friction_coeffs[0];
 
   // ADMM on: lb <= C u <= ub, with block-diagonal C.
-  // K = P + sigma I + rho C^T C; C^T C is block diagonal with 3x3 blocks
-  // per (step, leg):  G = cone^T cone.
   double cone[kConstraintDim][3] = {{-1, 0, mu},
                                     {1, 0, mu},
                                     {0, -1, mu},
                                     {0, 1, mu},
                                     {0, 0, 1}};
-  double G[9] = {0};
-  for (int k = 0; k < kConstraintDim; ++k)
-    for (int r = 0; r < 3; ++r)
-      for (int c = 0; c < 3; ++c) G[r * 3 + c] += cone[k][r] * cone[k][c];
+
+  // Jacobi equilibration (the dense-ADMM analog of OSQP's Ruiz step):
+  // scale variables by d_i = 1/sqrt(P_ii), then constraint rows to unit
+  // 2-norm.  Small SRB inertias (a1_sim.py's (0.017,0.057,0.064)*0.1)
+  // put a ~1e7+ dynamic range on P's diagonal, and the unscaled splitting
+  // barely moves off u=0 in 100 iterations; with scaling it converges to
+  // the same fixed point as the x64 JAX solver.  Solution unscales as
+  // u = D u_bar.
+  std::vector<double> d(nu);
+  for (int i = 0; i < nu; ++i)
+    d[i] = 1.0 / std::sqrt(std::max(P[(size_t)i * nu + i], 1e-12));
+  for (int i = 0; i < nu; ++i)
+    for (int j = 0; j < nu; ++j) P[(size_t)i * nu + j] *= d[i] * d[j];
+  for (int i = 0; i < nu; ++i) q[i] *= d[i];
+
+  // per-(step,leg) scaled cone rows and their Gram blocks
+  std::vector<double> coneb((size_t)H * n * kConstraintDim * 3);
+  std::vector<double> erow((size_t)H * n * kConstraintDim);
+  std::vector<double> Gb((size_t)H * n * 9, 0.0);
+  for (int b = 0; b < H * n; ++b) {
+    for (int k = 0; k < kConstraintDim; ++k) {
+      double nrm2 = 0.0;
+      double row[3];
+      for (int c = 0; c < 3; ++c) {
+        row[c] = cone[k][c] * d[b * 3 + c];
+        nrm2 += row[c] * row[c];
+      }
+      double e = 1.0 / std::sqrt(std::max(nrm2, 1e-12));
+      erow[(size_t)b * kConstraintDim + k] = e;
+      for (int c = 0; c < 3; ++c)
+        coneb[((size_t)b * kConstraintDim + k) * 3 + c] = row[c] * e;
+    }
+    for (int k = 0; k < kConstraintDim; ++k)
+      for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 3; ++c)
+          Gb[(size_t)b * 9 + r * 3 + c] +=
+              coneb[((size_t)b * kConstraintDim + k) * 3 + r] *
+              coneb[((size_t)b * kConstraintDim + k) * 3 + c];
+  }
 
   double trace = 0.0;
   for (int i = 0; i < nu; ++i) trace += P[(size_t)i * nu + i];
   double rho = 0.1 * std::max(trace / nu, 1e-9);
   double sigma = 1e-6 * std::max(trace / nu, 1e-9);
 
-  Mat K(P);
-  for (int i = 0; i < nu; ++i) K[(size_t)i * nu + i] += sigma;
-  for (int b = 0; b < H * n; ++b)
-    for (int r = 0; r < 3; ++r)
-      for (int c = 0; c < 3; ++c)
-        K[(size_t)(b * 3 + r) * nu + b * 3 + c] += rho * G[r * 3 + c];
-  if (!Cholesky(K, nu)) return -1;
+  Mat K;
+  auto factor = [&](double rho_v) {
+    K = P;
+    for (int i = 0; i < nu; ++i) K[(size_t)i * nu + i] += sigma;
+    for (int b = 0; b < H * n; ++b)
+      for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 3; ++c)
+          K[(size_t)(b * 3 + r) * nu + b * 3 + c] +=
+              rho_v * Gb[(size_t)b * 9 + r * 3 + c];
+    return Cholesky(K, nu);
+  };
+  if (!factor(rho)) return -1;
 
   std::vector<double> lb(nc), ub(nc);
   for (int i = 0; i < H; ++i)
@@ -440,10 +478,10 @@ int mpc_compute_contact_forces(
       double cs = foot_contact_states[j] ? 1.0 : 0.0;
       for (int k = 0; k < 4; ++k) {
         lb[row + k] = 0.0;
-        ub[row + k] = (mu + 1.0) * fz_max * cs;
+        ub[row + k] = (mu + 1.0) * fz_max * cs * erow[row + k];
       }
       lb[row + 4] = 0.0;
-      ub[row + 4] = fz_max * cs;
+      ub[row + 4] = fz_max * cs * erow[row + 4];
     }
 
   std::vector<double> u(nu, 0.0), z(nc, 0.0), yv(nc, 0.0), rhs(nu),
@@ -452,11 +490,16 @@ int mpc_compute_contact_forces(
     for (int b = 0; b < H * n; ++b)
       for (int k = 0; k < kConstraintDim; ++k) {
         double s = 0.0;
-        for (int c = 0; c < 3; ++c) s += cone[k][c] * v[b * 3 + c];
+        for (int c = 0; c < 3; ++c)
+          s += coneb[((size_t)b * kConstraintDim + k) * 3 + c] * v[b * 3 + c];
         out[b * kConstraintDim + k] = s;
       }
   };
-  const int iters = 100;
+  // 300 iterations with OSQP-style adaptive-rho rebalancing every 50
+  // (residual-ratio rule, OSQP sec. 5.2) — matches the JAX solver's
+  // outer/inner structure; the dense refactorizations are <=120x120.
+  const int iters = 300;
+  const int adapt_every = 50;
   for (int it = 0; it < iters; ++it) {
     // rhs = sigma u - q + C^T (rho z - y)
     for (int i = 0; i < nu; ++i) rhs[i] = sigma * u[i] - q[i];
@@ -464,7 +507,9 @@ int mpc_compute_contact_forces(
       for (int k = 0; k < kConstraintDim; ++k) {
         double w = rho * z[b * kConstraintDim + k] -
                    yv[b * kConstraintDim + k];
-        for (int c = 0; c < 3; ++c) rhs[b * 3 + c] += cone[k][c] * w;
+        for (int c = 0; c < 3; ++c)
+          rhs[b * 3 + c] +=
+              coneb[((size_t)b * kConstraintDim + k) * 3 + c] * w;
       }
     CholSolve(K, rhs.data(), u.data(), nu);
     apply_C(u, Cu);
@@ -473,15 +518,52 @@ int mpc_compute_contact_forces(
       z[i] = std::min(std::max(v, lb[i]), ub[i]);
       yv[i] = yv[i] + rho * (Cu[i] - z[i]);
     }
+    if ((it + 1) % adapt_every == 0 && it + 1 < iters) {
+      double nAx = 0, nz = 0, rp2 = 0, rd2 = 0, nq = 0;
+      for (int i = 0; i < nc; ++i) {
+        nAx = std::max(nAx, std::abs(Cu[i]));
+        nz = std::max(nz, std::abs(z[i]));
+        double e = Cu[i] - z[i];
+        rp2 += e * e;
+      }
+      // dual residual: P u + q + C^T y
+      for (int i = 0; i < nu; ++i) {
+        double s = q[i];
+        for (int j = 0; j < nu; ++j) s += P[(size_t)i * nu + j] * u[j];
+        rhs[i] = s;
+        nq = std::max(nq, std::abs(q[i]));
+      }
+      for (int b = 0; b < H * n; ++b)
+        for (int k = 0; k < kConstraintDim; ++k)
+          for (int c = 0; c < 3; ++c)
+            rhs[b * 3 + c] +=
+                coneb[((size_t)b * kConstraintDim + k) * 3 + c] *
+                yv[b * kConstraintDim + k];
+      for (int i = 0; i < nu; ++i) rd2 += rhs[i] * rhs[i];
+      double r_prim =
+          std::sqrt(rp2) / std::max(std::max(nAx, nz), 1e-6);
+      double r_dual = std::sqrt(rd2) / std::max(nq, 1e-6);
+      double ratio = std::sqrt(r_prim / std::max(r_dual, 1e-12));
+      ratio = std::min(std::max(ratio, 0.1), 10.0);
+      double scale = std::max(trace / nu, 1e-9);
+      double rho_new = std::min(std::max(rho * ratio, 1e-6 * scale),
+                                1e6 * scale);
+      if (rho_new != rho) {
+        rho = rho_new;
+        if (!factor(rho)) return -1;
+      }
+    }
   }
 
-  // negated solution, zeroed for non-contact legs (mpc_osqp.cc:803-816)
+  // negated, unscaled solution, zeroed for non-contact legs
+  // (mpc_osqp.cc:803-816)
   for (int i = 0; i < H; ++i)
     for (int j = 0; j < n; ++j)
       for (int c = 0; c < 3; ++c) {
         int idx = (i * n + j) * 3 + c;
+        int ui = i * adim + j * 3 + c;
         out_forces[idx] =
-            foot_contact_states[j] ? -u[(size_t)(i * adim) + j * 3 + c] : 0.0;
+            foot_contact_states[j] ? -u[(size_t)ui] * d[ui] : 0.0;
       }
   return 0;
 }
