@@ -80,8 +80,10 @@ def main():
       max_episode_frames=params["collector"]["max_episode_frames"])
 
   # V4L_BENCH_BF16=1: collection-policy forward in bfloat16 (the PPO
-  # update stays f32) — see make_rollout_fn(inference_dtype)
-  inf_dtype = jnp.bfloat16 if os.environ.get("V4L_BENCH_BF16") else None
+  # update stays f32) — see make_rollout_fn(inference_dtype).  "0"/""
+  # mean off so an explicit V4L_BENCH_BF16=0 really is the f32 baseline.
+  use_bf16 = os.environ.get("V4L_BENCH_BF16", "") not in ("", "0")
+  inf_dtype = jnp.bfloat16 if use_bf16 else None
   agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
                    seed=0, logger=_NullLogger(), save_dir="/tmp/v4l_bench",
                    obs_norm=meta["obs_norm"], inference_dtype=inf_dtype)
@@ -116,6 +118,7 @@ def main():
       "metric": "locotransformer_ppo_env_steps_per_sec",
       "value": round(steps_per_sec, 1),
       "unit": "env-steps/s (collect+update, thin-goal)",
+      "bf16_collection": use_bf16,
       "vs_baseline": round(
           steps_per_sec / REFERENCE_MEASURED_STEPS_PER_SEC, 2),
       "vs_gpu_estimate": round(

@@ -52,8 +52,11 @@ def run_experiment(build_module):
 
   experiment_name = (osp.split(osp.splitext(args.config)[0])[-1]
                      if args.id is None else args.id)
+  # --resume wins over --overwrite: a retry loop that passes both (fresh
+  # start if no checkpoint, continue if there is one) must never rmtree
+  # the very checkpoint it is about to restore.
   logger = Logger(experiment_name, params["env_name"], args.seed, params,
-                  args.log_dir, args.overwrite)
+                  args.log_dir, args.overwrite and not args.resume)
 
   module = build_module(env, params)
 

@@ -344,6 +344,68 @@ def test_checkpoint_roundtrip_box_terrain(tmp_path):
           == agent.collector_state.env_states.terrain.obstacle_spheres.shape)
 
 
+def test_checkpoint_restore_predates_new_fields(tmp_path):
+  """Checkpoints saved before a CollectorState field existed must still
+  restore: the missing leaf keeps its template default instead of
+  crashing orbax with a structure mismatch (e.g. r1 checkpoints predate
+  finished_len_sum)."""
+  import numpy as np
+  import orbax.checkpoint as ocp
+  from vision4leg_tpu.algo.agent import PPOAgent
+  from vision4leg_tpu.algo.ppo import PPOConfig
+  from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+  from vision4leg_tpu.models.actor_critic import StateActorCritic
+
+  env = A1GymEnv(EnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.05, 0.5, 0.5) * 4,
+      time_step_s=0.0025, num_action_repeat=4, add_last_action_input=True,
+      no_displacement=True, diagonal_act=True, alive_reward=-0.05,
+      terrain_type="plane", settle_steps=20))
+  module = StateActorCritic(action_dim=6, hidden_shapes=(32,),
+                            append_hidden_shapes=(32,))
+  cfg = PPOConfig(plr=1e-4, vlr=1e-4, opt_epochs=1, batch_size=8,
+                  epoch_frames=16, max_episode_frames=8, num_epochs=1)
+
+  class _NullLogger:
+    work_dir = str(tmp_path)
+    def add_epoch_info(self, *a, **k): pass
+    def log(self, *a, **k): pass
+
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4, seed=0,
+                   logger=_NullLogger(), save_dir=str(tmp_path),
+                   obs_norm=True)
+  agent.save_checkpoint(epoch=5)
+
+  # rewrite the stored tree as raw dicts WITHOUT finished_len_sum,
+  # emulating a checkpoint from before the field existed
+  import os.path as osp
+  import shutil
+  path_ck = osp.join(str(tmp_path), "checkpoint")
+  with ocp.PyTreeCheckpointer() as ckptr:
+    raw = ckptr.restore(path_ck)
+  assert "finished_len_sum" in raw["collector_state"]
+  del raw["collector_state"]["finished_len_sum"]
+  shutil.rmtree(path_ck)
+  with ocp.PyTreeCheckpointer() as ckptr:
+    ckptr.save(path_ck, raw, force=True)
+
+  agent2 = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4, seed=1,
+                    logger=_NullLogger(), save_dir=str(tmp_path),
+                    obs_norm=True)
+  sentinel = np.asarray(agent2.collector_state.finished_len_sum).copy()
+  next_epoch = agent2.restore_checkpoint()
+  assert next_epoch == 6
+  # restored leaves come from the old checkpoint...
+  np.testing.assert_array_equal(np.asarray(agent2.key),
+                                np.asarray(agent.key))
+  for x, y in zip(jax.tree.leaves(agent.train_state.params),
+                  jax.tree.leaves(agent2.train_state.params)):
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+  # ...while the missing one keeps its template default
+  np.testing.assert_array_equal(
+      np.asarray(agent2.collector_state.finished_len_sum), sentinel)
+
+
 def test_off_policy_agent_loop():
   """The timestep-driven off-policy loop (OffRLAlgo equivalent): pretrain
   fills the replay with random exploration, then each env step triggers

@@ -64,7 +64,7 @@ def summarize(run_dir):
     return f"{x[-1]:8.1f}" if x.size else "     n/a"
 
   out = (f"{os.path.basename(run_dir):<22} ep={len(data):4d} "
-         f"frames={0 if frames is None or not len(frames) else int(np.nanmax(frames)):>9} "
+         f"frames={0 if frames is None or not len(frames) or np.all(np.isnan(frames)) else int(np.nanmax(frames)):>9} "
          f"eval max={mx(ev)} final={last(ev)} "
          f"RAR max={mx(rar)} final={last(rar)}")
   if eplen is not None:

@@ -87,10 +87,11 @@ class PPOAgent:
     horizon = cfg.epoch_frames // num_envs
     self.horizon = horizon
     # CurriculumWrapperEnv (curriculum_wrapper_env.py:27-92): episode
-    # length ramped 1000 -> 2000 over 10M per-env steps (the builder
-    # leaves num_parallel_envs=1, so each env instance counts only its
-    # own steps).  The ramped cap feeds the collector's surpass
-    # threshold as a traced scalar each epoch (no recompilation).
+    # length ramped 1000 -> 2000 by a cubic schedule; the builder passes
+    # num_parallel_envs=8 (env_builder.py:350-354) so the effective ramp
+    # length is ceil(10M/8) = 1.25M per-env steps — see
+    # _curriculum_episode_cap.  The ramped cap feeds the collector's
+    # surpass threshold as a traced scalar each epoch (no recompilation).
     self.curriculum = bool(getattr(env.cfg, "curriculum", False))
     self._curric = (1000, 2000, 10_000_000)
     if self.curriculum:
@@ -195,8 +196,36 @@ class PPOAgent:
                 "best_eval": self.best_eval,
                 "total_frames": self.total_frames}
     with ocp.PyTreeCheckpointer() as ckptr:
-      ckpt = ckptr.restore(path, item=jax.tree.map(_pad_zero_size,
-                                                   template))
+      try:
+        ckpt = ckptr.restore(path, item=jax.tree.map(_pad_zero_size,
+                                                     template))
+      except ValueError:
+        # Structure mismatch: the checkpoint predates a CollectorState
+        # field (e.g. finished_len_sum).  Restore the raw stored tree and
+        # graft it onto the template by path, keeping template defaults
+        # for leaves the old checkpoint lacks.
+        raw = ckptr.restore(path)
+
+        def _lookup(path_entries, default):
+          node = raw
+          for p in path_entries:
+            key = getattr(p, "key", None)
+            if key is None:
+              key = getattr(p, "name", getattr(p, "idx", None))
+            if isinstance(node, dict) and key in node:
+              node = node[key]
+            else:
+              return default           # leaf absent in the old checkpoint
+          return default if isinstance(node, dict) else node
+
+        def _graft(p, leaf):
+          val = _lookup(p, leaf)
+          if val is leaf:
+            return leaf
+          return jnp.asarray(val, getattr(leaf, "dtype", None))
+
+        ckpt = jax.tree_util.tree_map_with_path(
+            _graft, jax.tree.map(_pad_zero_size, template))
     ckpt = jax.tree.map(_unpad_zero_size, ckpt, template)
     self.train_state = ckpt["train_state"]
     self.collector_state = ckpt["collector_state"]

@@ -23,14 +23,17 @@ import numpy as np
 try:
   import gymnasium
   from gymnasium import spaces
-except ImportError:  # pragma: no cover
-  gymnasium = None
-  spaces = None
+except ImportError as _e:  # pragma: no cover
+  # the wrapper classes subclass gymnasium.Wrapper at definition time, so
+  # without gymnasium this module cannot load at all — fail loudly here
+  # rather than with an AttributeError mid-class-statement
+  raise ImportError(
+      "vision4leg_tpu.collector.atari requires gymnasium") from _e
 
 try:
   import cv2
 except ImportError:  # pragma: no cover
-  cv2 = None
+  cv2 = None         # only WarpFrame needs it; checked in its __init__
 
 
 class NoopResetEnv(gymnasium.Wrapper):
@@ -140,6 +143,8 @@ class WarpFrame(gymnasium.ObservationWrapper):
   """Grayscale + resize to 84x84x1 (atari_wrapper.py:172-197)."""
 
   def __init__(self, env, width: int = 84, height: int = 84):
+    if cv2 is None:
+      raise ImportError("WarpFrame requires cv2 (opencv-python)")
     super().__init__(env)
     self.width, self.height = width, height
     self.observation_space = spaces.Box(

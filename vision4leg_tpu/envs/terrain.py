@@ -342,7 +342,11 @@ def _gaussian_landscape(key, n, cell, num_bumps, height_scale,
   # flatten the start area; the blend ramps over `ramp` meters with a
   # cosine profile so the ring around the start stays walkable (a linear
   # ramp over flat_radius added slope = h/flat_radius ~ 45 deg at 1.5 m
-  # relief — the r1 hill's steepest feature)
+  # relief — the r1 hill's steepest feature).  NOTE this helper is shared
+  # by gen_hill AND gen_mount, so the r2 recalibration also flattens the
+  # mount's approach ring (full bump amplitude from r = flat_radius+4 m
+  # instead of ~2 m) — intended for both: the reference's init-pose
+  # tables place the robot on gentle ground for hill and mount alike.
   r = jnp.sqrt(gx**2 + gy**2)
   ramp = 4.0
   frac = jnp.clip((r - flat_radius) / ramp, 0.0, 1.0)
