@@ -84,21 +84,35 @@ def main():
   # mean off so an explicit V4L_BENCH_BF16=0 really is the f32 baseline.
   use_bf16 = os.environ.get("V4L_BENCH_BF16", "") not in ("", "0")
   inf_dtype = jnp.bfloat16 if use_bf16 else None
-  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
-                   seed=0, logger=_NullLogger(), save_dir="/tmp/v4l_bench",
-                   obs_norm=meta["obs_norm"], inference_dtype=inf_dtype)
 
-  # warm up: compile + the first couple of executions after compilation run
-  # several times slower on this backend (executable paging); measure
-  # steady state only
+  # Build + warm up, stepping the env count down on HBM exhaustion (a
+  # concurrent training job may hold most of the chip when the driver
+  # runs this); 16384 frames/epoch regardless, so only the T/E split —
+  # not the measured work — changes.
   key = jax.random.PRNGKey(0)
-  ts, cs = agent.train_state, agent.collector_state
-  for w in range(3):
-    ts, cs, m = agent._train_epoch(ts, cs, jax.random.fold_in(key, 1000 + w))
-    jax.block_until_ready(m["Training/policy_loss"])
+  import sys
+  while True:
+    try:
+      agent = PPOAgent(env=env, ac_module=module, cfg=cfg,
+                       num_envs=num_envs, seed=0, logger=_NullLogger(),
+                       save_dir="/tmp/v4l_bench", obs_norm=meta["obs_norm"],
+                       inference_dtype=inf_dtype)
+      # warm up: compile + the first couple of executions after
+      # compilation run several times slower on this backend (executable
+      # paging); measure steady state only
+      ts, cs = agent.train_state, agent.collector_state
+      for w in range(3):
+        ts, cs, m = agent._train_epoch(ts, cs,
+                                       jax.random.fold_in(key, 1000 + w))
+        jax.block_until_ready(m["Training/policy_loss"])
+      break
+    except Exception as e:  # noqa: BLE001 — step down only on OOM
+      if "RESOURCE_EXHAUSTED" not in str(e) or num_envs <= 128:
+        raise
+      num_envs //= 2
+      print(f"HBM exhausted; retrying at {num_envs} envs", file=sys.stderr)
 
   n_epochs = int(os.environ.get("V4L_BENCH_EPOCHS", "3"))
-  import sys
   t0 = time.time()
   t_roll = 0.0
   for i in range(n_epochs):
@@ -119,6 +133,7 @@ def main():
       "value": round(steps_per_sec, 1),
       "unit": "env-steps/s (collect+update, thin-goal)",
       "bf16_collection": use_bf16,
+      "num_envs": num_envs,
       "vs_baseline": round(
           steps_per_sec / REFERENCE_MEASURED_STEPS_PER_SEC, 2),
       "vs_gpu_estimate": round(

@@ -22,3 +22,33 @@ def test_fused_layer_matches_flax():
   out = jax.jit(fused_transformer_layer)(x, w)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                              atol=2e-5, rtol=1e-4)
+
+
+def test_model_fused_pi_v_matches_unfused():
+  """The wired path: LocoTransformerActorCritic.pi_v(fused=True) must
+  produce the same actions/values as the flax path (the rollout passes
+  fused=True on TPU; off-TPU the kernel falls back to identical XLA
+  math, so this also pins the in-module weights_from_flax routing)."""
+  from vision4leg_tpu.models.actor_critic import LocoTransformerActorCritic
+
+  module = LocoTransformerActorCritic(
+      action_dim=6, state_input_shape=40, visual_input_shape=(4, 64, 64),
+      encoder_hidden_shapes=(32,), transformer_params=((1, 64), (1, 64)),
+      append_hidden_shapes=(32,), token_dim=64)
+  key = jax.random.PRNGKey(2)
+  obs = jax.random.normal(key, (8, 40 + 4 * 64 * 64)) * 0.3
+  params = module.init(key, obs[:1])
+
+  import functools
+
+  @functools.partial(jax.jit, static_argnums=0)
+  def run(fused):
+    return module.apply(params, obs, fused=fused, method=module.pi_v)
+
+  (m0, s0, _), v0 = run(False)
+  (m1, s1, _), v1 = run(True)
+  np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                             atol=2e-5, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                             atol=2e-5, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(s1), np.asarray(s0))

@@ -8,6 +8,7 @@ train_epoch program on the TPU; eval is a second jitted program.
 """
 from __future__ import annotations
 
+import inspect
 import os
 import os.path as osp
 import time
@@ -45,7 +46,8 @@ class PPOAgent:
                eval_interval: int = 10, save_interval: int = 100,
                num_eval_envs: int = 2, obs_norm: bool = True,
                env_time_limit: int = 1000, reward_scale: float = 1.0,
-               inference_dtype=None, mesh=None):
+               inference_dtype=None, mesh=None,
+               fused_attention: Optional[bool] = None):
     self.env = env
     self.module = ac_module
     self.cfg = cfg
@@ -75,9 +77,23 @@ class PPOAgent:
     def apply_v(p, x):
       return ac_module.apply(p, x, method=ac_module.v)
 
+    # Fused Pallas attention for the no-gradient collection forward:
+    # measured 1.45x vs the flax layer at rollout shapes (v5e,
+    # runs/attention_bench.json); default on for TPU backends.  Only
+    # pi_v (rollout inference) opts in — the learner's apply_pi/apply_v
+    # closures below stay unfused because the kernel has no VJP.
+    if fused_attention is None:
+      fused_attention = jax.default_backend() in ("tpu", "axon")
+    self.fused_attention = fused_attention
+
     apply_pi_v = None
     if hasattr(ac_module, "pi_v"):
+      accepts_fused = "fused" in inspect.signature(ac_module.pi_v).parameters
+
       def apply_pi_v(p, x):
+        if accepts_fused:
+          return ac_module.apply(p, x, fused=fused_attention,
+                                 method=ac_module.pi_v)
         return ac_module.apply(p, x, method=ac_module.pi_v)
 
     self.apply_pi, self.apply_v = apply_pi, apply_v

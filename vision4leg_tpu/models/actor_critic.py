@@ -148,17 +148,19 @@ class LocoTransformerActorCritic(nn.Module):
       t = layer(t)
     return self.vf_mlp(self._pool(t))
 
-  def pi_v(self, x):
+  def pi_v(self, x, fused: bool = False):
     """Tokenize once, run both transformer stacks (the conv
-    tokenizer dominates; pi/v separately would run it twice)."""
+    tokenizer dominates; pi/v separately would run it twice).
+    `fused=True` uses the Pallas fused layer — inference only (no VJP);
+    the rollout opts in, the PPO update path never passes it."""
     t0 = self._tokens(x)
     t = t0
     for layer in self.pf_layers:
-      t = layer(t)
+      t = layer(t, fused=fused)
     pi_out = self.head(self.pf_mlp(self._pool(t)))
     t = t0
     for layer in self.vf_layers:
-      t = layer(t)
+      t = layer(t, fused=fused)
     return pi_out, self.vf_mlp(self._pool(t))
 
   def __call__(self, x):

@@ -156,13 +156,26 @@ class LocoTransformerEncoder(nn.Module):
 class TransformerEncoderLayer(nn.Module):
   """PyTorch nn.TransformerEncoderLayer semantics (post-norm, dropout=0):
   x = LN(x + SelfAttn(x)); x = LN(x + FFN(x)).  Used by LocoTransformer
-  (nets.py:948-955)."""
+  (nets.py:948-955).
+
+  `fused=True` routes the forward through the Pallas fused layer
+  (ops/attention.py) using this layer's own bound params — measured 1.45x
+  vs the flax path at rollout shapes (B=1024, T=17, D=64, v5e,
+  runs/attention_bench.json).  Single-head, forward-only (no VJP): the
+  rollout/inference path opts in; the PPO update path must stay unfused.
+  Off-TPU or at non-tile-aligned batch sizes the kernel transparently
+  falls back to identical XLA math."""
   d_model: int
   n_head: int
   dim_feedforward: int
 
   @nn.compact
-  def __call__(self, x):  # (B, T, D)
+  def __call__(self, x, fused: bool = False):  # (B, T, D)
+    if fused and self.n_head == 1 and not self.is_initializing():
+      from vision4leg_tpu.ops import attention as pallas_attn
+      w = pallas_attn.weights_from_flax(self.variables["params"],
+                                        self.d_model)
+      return pallas_attn.fused_transformer_layer(x, w)
     attn = nn.MultiHeadDotProductAttention(
         num_heads=self.n_head, qkv_features=self.d_model,
         out_features=self.d_model)(x, x)

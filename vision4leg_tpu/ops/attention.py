@@ -17,20 +17,19 @@ are validated against the flax TransformerEncoderLayer in
 tests/test_pallas.py; `fused_transformer_layer` falls back to pure XLA on
 non-TPU backends.
 
-MEASURED OUTCOME (round 2, v5e, tools/bench_attention.py): at the shipped
-rollout shape (B=1024 envs, T=17 tokens, D=64, FF=256) this kernel runs
-in 478.2 us vs 331.4 us for the jitted flax layer — 0.69x.  XLA already
-fuses the whole small-shape layer (every matmul here is MXU-tiny; the op
-sequence is bandwidth-bound and XLA's fusion covers it), and the Pallas
-version pays grid/dispatch overhead it cannot amortize at T=17.  The
-model path therefore deliberately stays on the flax layer
-(models/base.py TransformerEncoderLayer); this kernel is kept as the
-measured negative result + a starting point if token counts ever grow
-(RGB+depth = 33 tokens is still too small to flip the verdict).  For
-scale: the two transformer layers are a small slice of the per-step
-policy forward (the Nature-CNN convs dominate), and the whole collect
-epoch is ~5x the update cost (tools/ablate_rollout.py), so even a won
-bet here would move end-to-end throughput by well under 1%.
+MEASURED (round 2, v5e, tools/bench_attention.py -> runs/
+attention_bench.json, uncontended chip): at the shipped rollout shape
+(B=1024, T=17, D=64, FF=256) this kernel runs in 27.6 us vs 40.1 us for
+the jitted flax layer — 1.45x (B=512: 1.43x; D=256 loses at small batch,
+0.38x @ B=512).  An earlier contended measurement (training job sharing
+the chip) showed the opposite at ~10x the absolute time; benchmark this
+on an idle chip.  WIRED: TransformerEncoderLayer(fused=True) routes
+here, and the rollout's pi_v opts in on TPU backends
+(algo/agent.py apply_pi_v) — inference only, since the kernel has no
+VJP; the PPO update keeps the flax path.  End-to-end impact is bounded
+by Amdahl: the two layers are a small slice of the policy forward
+(pi_v @1024 = 385 us total; convs dominate), which itself shares the
+rollout with physics+raycast.
 """
 from __future__ import annotations
 
