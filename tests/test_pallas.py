@@ -52,3 +52,28 @@ def test_model_fused_pi_v_matches_unfused():
   np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
                              atol=2e-5, rtol=1e-4)
   np.testing.assert_allclose(np.asarray(s1), np.asarray(s0))
+
+
+def test_vision_only_pi_v_matches_pi_and_v():
+  """VisionOnlyTransformerActorCritic.pi_v (new single-tokenize inference
+  path) must equal the separate pi/v calls, fused or not."""
+  from vision4leg_tpu.models.actor_critic import (
+      VisionOnlyTransformerActorCritic)
+
+  module = VisionOnlyTransformerActorCritic(
+      action_dim=6, state_input_shape=40, visual_input_shape=(4, 64, 64),
+      encoder_hidden_shapes=(32,), transformer_params=((1, 64),),
+      append_hidden_shapes=(32,), token_dim=64)
+  key = jax.random.PRNGKey(3)
+  obs = jax.random.normal(key, (4, 40 + 4 * 64 * 64)) * 0.3
+  params = module.init(key, obs[:1])
+
+  (m_ref, _, _) = module.apply(params, obs, method=module.pi)
+  v_ref = module.apply(params, obs, method=module.v)
+  for fused in (False, True):
+    (m, _, _), v = module.apply(params, obs, fused=fused,
+                                method=module.pi_v)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               atol=2e-5, rtol=1e-4)

@@ -203,10 +203,9 @@ class VisionOnlyTransformerActorCritic(nn.Module):
         x.shape[:-1] + tuple(self.visual_input_shape))
     return self.encoder(visual_x, state_x)
 
-  def _run(self, x, layers, mlp):
-    t = self._tokens(x)
+  def _stack(self, t, layers, mlp, fused=False):
     for layer in layers:
-      t = layer(t)
+      t = layer(t, fused=fused)
     pool = ((lambda z: jnp.max(z, axis=1)) if self.max_pool
             else (lambda z: jnp.mean(z, axis=1)))
     # vision-only: pool over the visual tokens, drop the state token
@@ -214,10 +213,18 @@ class VisionOnlyTransformerActorCritic(nn.Module):
     return mlp(pool(t[:, 1:]))
 
   def pi(self, x):
-    return self.head(self._run(x, self.pf_layers, self.pf_mlp))
+    return self.head(self._stack(self._tokens(x), self.pf_layers,
+                                 self.pf_mlp))
 
   def v(self, x):
-    return self._run(x, self.vf_layers, self.vf_mlp)
+    return self._stack(self._tokens(x), self.vf_layers, self.vf_mlp)
+
+  def pi_v(self, x, fused: bool = False):
+    """Tokenize once, run both stacks (same contract as
+    LocoTransformerActorCritic.pi_v; fused = Pallas layer, no VJP)."""
+    t = self._tokens(x)
+    return (self.head(self._stack(t, self.pf_layers, self.pf_mlp, fused)),
+            self._stack(t, self.vf_layers, self.vf_mlp, fused))
 
   def __call__(self, x):
     return self.pi(x), self.v(x)
