@@ -84,6 +84,10 @@ def main():
   # mean off so an explicit V4L_BENCH_BF16=0 really is the f32 baseline.
   use_bf16 = os.environ.get("V4L_BENCH_BF16", "") not in ("", "0")
   inf_dtype = jnp.bfloat16 if use_bf16 else None
+  # V4L_BENCH_FUSED_ATTN: "0" forces the flax layer, "1" forces the
+  # Pallas fused layer, unset = agent default (on for TPU backends)
+  fused_env = os.environ.get("V4L_BENCH_FUSED_ATTN", "")
+  fused_attn = None if fused_env == "" else fused_env != "0"
 
   # Build + warm up, stepping the env count down on HBM exhaustion (a
   # concurrent training job may hold most of the chip when the driver
@@ -96,7 +100,8 @@ def main():
       agent = PPOAgent(env=env, ac_module=module, cfg=cfg,
                        num_envs=num_envs, seed=0, logger=_NullLogger(),
                        save_dir="/tmp/v4l_bench", obs_norm=meta["obs_norm"],
-                       inference_dtype=inf_dtype)
+                       inference_dtype=inf_dtype,
+                       fused_attention=fused_attn)
       # warm up: compile + the first couple of executions after
       # compilation run several times slower on this backend (executable
       # paging); measure steady state only
@@ -133,6 +138,7 @@ def main():
       "value": round(steps_per_sec, 1),
       "unit": "env-steps/s (collect+update, thin-goal)",
       "bf16_collection": use_bf16,
+      "fused_attention": agent.fused_attention,
       "num_envs": num_envs,
       "vs_baseline": round(
           steps_per_sec / REFERENCE_MEASURED_STEPS_PER_SEC, 2),
