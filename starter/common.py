@@ -87,8 +87,14 @@ def run_experiment(build_module):
       save_interval=gs.get("save_interval", 100),
       # the reference evaluates eval_episodes (=2) episodes per eval pass;
       # extra vmapped eval envs are ~free on device, and a wider sample
-      # makes Eval_Rewards_Average / best-snapshot selection far less noisy
-      num_eval_envs=max(8, params["collector"].get("eval_episodes", 2)),
+      # makes Eval_Rewards_Average / best-snapshot selection far less
+      # noisy.  V4L_STRICT_EVAL=1 restores the reference's exact episode
+      # count for protocol-identical eval logs (PARITY.md deviation note).
+      num_eval_envs=(params["collector"].get("eval_episodes", 2)
+                     if os.environ.get("V4L_STRICT_EVAL", "") not in
+                     ("", "0")
+                     else max(8, params["collector"].get("eval_episodes",
+                                                         2))),
       obs_norm=meta["obs_norm"],
       env_time_limit=meta["horizon"],
       reward_scale=meta["reward_scale"],
