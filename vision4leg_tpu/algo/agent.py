@@ -287,6 +287,10 @@ class PPOAgent:
     start_epoch = self.restore_checkpoint() if resume else 0
     if start_epoch:
       self.logger.log(f"resumed from checkpoint at epoch {start_epoch}")
+      # drop stale log.csv rows from the crashed segment past the
+      # checkpoint so the resumed run doesn't append duplicate epochs
+      if hasattr(self.logger, "truncate_epochs_from"):
+        self.logger.truncate_epochs_from(start_epoch)
     for epoch in range(start_epoch, cfg.num_epochs):
       t0 = time.time()
       self.key, k_up, k_ev = jax.random.split(self.key, 3)

@@ -66,6 +66,30 @@ class Logger:
     for k, v in infos.items():
       self.update_infos.setdefault(k, []).append(float(np.asarray(v)))
 
+  def truncate_epochs_from(self, epoch: int):
+    """Drop log.csv rows with EPOCH >= epoch (resume path: a crashed
+    segment may have logged past the checkpoint being restored; without
+    this the resumed run appends duplicate epoch rows)."""
+    if not osp.exists(self.csv_file_path):
+      return
+    with open(self.csv_file_path) as f:
+      lines = f.read().splitlines()
+    if not lines:
+      return
+    kept = [lines[0]]
+    for line in lines[1:]:
+      try:
+        if int(float(line.split(",", 1)[0])) >= epoch:
+          continue
+      except ValueError:
+        pass               # malformed row: keep it for the repair tool
+      kept.append(line)
+    if len(kept) != len(lines):
+      with open(self.csv_file_path, "w") as f:
+        f.write("\n".join(kept) + "\n")
+      # keep appends consistent with the existing header
+      self.csv_fieldnames = [c.strip() for c in lines[0].split(",")]
+
   def add_epoch_info(self, epoch_num, total_frames, total_time, infos,
                      csv_write=True):
     """Aggregate + emit one epoch of metrics (logger.py:66-115)."""
