@@ -40,12 +40,14 @@ def time_rollout(env, meta, params_json, num_envs=1024, n=3):
                    seed=0, logger=_NullLogger(), save_dir="/tmp/v4l_ablate",
                    obs_norm=meta["obs_norm"])
   ts, cs = agent.train_state, agent.collector_state
+  # _rollout_jit donates cs, so thread it instead of reusing the initial
+  # state (identical timing; the content drift is irrelevant here)
   for _ in range(3):
-    cs2, traj, lv = agent._rollout_jit(ts.params, cs)
+    cs, traj, lv = agent._rollout_jit(ts.params, cs)
     jax.block_until_ready(lv)
   t0 = time.time()
   for _ in range(n):
-    cs2, traj, lv = agent._rollout_jit(ts.params, cs)
+    cs, traj, lv = agent._rollout_jit(ts.params, cs)
     jax.block_until_ready(lv)
   return (time.time() - t0) / n
 

@@ -24,6 +24,41 @@ from vision4leg_tpu.collector import rollout as rollout_lib
 from vision4leg_tpu.data import normalizer as norm
 
 
+def _unalias_donated(donated, protected=()):
+  """Copy repeated buffers so every leaf of a to-be-donated pytree is
+  backed by a unique buffer.
+
+  XLA CSE can hand back two identical jit outputs sharing ONE buffer
+  (e.g. two all-zero episode counters in the freshly-initialized
+  collector state); donating such a tree fails at dispatch with
+  "Attempt to donate the same buffer twice".  `protected` leaves
+  (non-donated args of the same call) are seeded first so a donated
+  leaf aliasing one of them is copied rather than donated out from
+  under it.  Multi-shard arrays are skipped (no stable buffer pointer);
+  the sharded path is exercised by tests/test_multichip.py.
+  """
+  seen = set()
+  for p in jax.tree.leaves(protected):
+    try:
+      seen.add(p.unsafe_buffer_pointer())
+    except Exception:  # noqa: BLE001 — non-array / multi-shard leaf
+      pass
+
+  def fix(x):
+    try:
+      ptr = x.unsafe_buffer_pointer()
+    except Exception:  # noqa: BLE001
+      return x
+    if ptr in seen:
+      # force a real computation: identity slices (x[...]) and
+      # jax.device_put alias the original buffer on CPU; an add cannot
+      return x + jnp.zeros((), x.dtype)
+    seen.add(ptr)
+    return x
+
+  return jax.tree.map(fix, donated)
+
+
 def _pad_zero_size(x):
   """Orbax cannot serialize zero-size arrays; pad the first zero axis to 1."""
   if hasattr(x, "shape") and hasattr(x, "size") and x.size == 0:
@@ -148,20 +183,43 @@ class PPOAgent:
 
     # two jitted phases (explore / train), mirroring the reference's
     # Explore_Time / Train___Time accounting (rl_algo.py:111-156) and
-    # keeping each XLA program simpler than one fused mega-program
-    self._rollout_jit = jax.jit(self.rollout)
-    self._update_jit = jax.jit(self.learner.update_per_epoch)
+    # keeping each XLA program simpler than one fused mega-program.
+    # Buffer donation: the collector state (env states + frame rings,
+    # ~hundreds of MB at 1024 envs) aliases straight into the updated
+    # state, and the trajectory (~1 GB of obs at 1024x16 thin-goal) is
+    # scratch after its last minibatch read — without donation XLA must
+    # hold input and output copies of both, which is what pushed the
+    # 512-env heightfield config over HBM.  Callers must treat donated
+    # args as consumed (rebind, never reuse).
+    _rollout_exec = jax.jit(self.rollout, donate_argnums=(1,))
+    _update_exec = jax.jit(self.learner.update_per_epoch,
+                           donate_argnums=(0, 1))
+
+    def _rollout_jit(params, cs, max_ep=None):
+      return _rollout_exec(params, _unalias_donated(cs), max_ep)
+
+    def _update_jit(ts, traj, last_value, key):
+      ts, traj = _unalias_donated((ts, traj), protected=(last_value,))
+      return _update_exec(ts, traj, last_value, key)
+
+    self._rollout_jit = _rollout_jit
+    self._update_jit = _update_jit
 
     def train_epoch(ts: PPOTrainState, cs, key, max_ep=None):
       cs, traj, last_value = self._rollout_jit(ts.params, cs, max_ep)
-      ts, metrics = self._update_jit(ts, traj, last_value, key)
-      metrics["Training/avg_reward"] = traj.rewards.mean()
+      # traj-derived metrics are dispatched BEFORE the update, whose jit
+      # donates traj (reading a donated buffer afterwards is an error on
+      # backends that implement donation)
+      metrics = {"Training/avg_reward": traj.rewards.mean()}
       # NaN guard (BaseCollector's per-step obs check, collector/base.py):
       # logged as a metric instead of raising inside compiled code
       metrics["diagnostics/nonfinite_obs"] = jnp.sum(
           ~jnp.isfinite(traj.obs)).astype(jnp.float32)
       metrics["diagnostics/nonfinite_reward"] = jnp.sum(
           ~jnp.isfinite(traj.rewards)).astype(jnp.float32)
+      metrics["diagnostics/terminal_rate"] = traj.terminals.mean()
+      ts, up_metrics = self._update_jit(ts, traj, last_value, key)
+      metrics.update(up_metrics)
       # eval-collapse telemetry (VERDICT r1 item 7): obs-normalizer drift
       # and terminal rate per epoch — a late-training reward crash with a
       # rising terminal rate and moving normalizer implicates obs-stat
@@ -169,7 +227,6 @@ class PPOAgent:
       nrm = cs.normalizer
       metrics["diagnostics/obs_norm_mean_l2"] = jnp.linalg.norm(nrm.mean)
       metrics["diagnostics/obs_norm_var_max"] = jnp.max(nrm.var)
-      metrics["diagnostics/terminal_rate"] = traj.terminals.mean()
       return ts, cs, metrics
 
     self._train_epoch = train_epoch
