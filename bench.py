@@ -52,7 +52,48 @@ class _NullLogger:
   def log(self, *a, **k): pass
 
 
+def _wait_for_device(max_wait_s: float) -> None:
+  """Block until the TPU tunnel answers a real device computation.
+
+  The axon relay flaps: its TCP port can accept while every backend init
+  returns UNAVAILABLE, or device calls can hang outright (observed
+  2026-08-17, ~2 h outage).  Probing in a SUBPROCESS lets a hung init be
+  timed out; an in-process hang inside PJRT is not interruptible.  On
+  persistent failure, exit with a message that distinguishes infra-down
+  from a broken benchmark.
+  """
+  import subprocess
+  import sys
+  probe = ("import jax, jax.numpy as jnp; "
+           "assert float(jnp.arange(8.0).sum()) == 28.0")
+  deadline = time.time() + max_wait_s
+  attempt = 0
+  while True:
+    attempt += 1
+    try:
+      r = subprocess.run([sys.executable, "-c", probe], timeout=180,
+                         capture_output=True)
+      if r.returncode == 0:
+        if attempt > 1:
+          print(f"device probe ok after {attempt} attempts",
+                file=sys.stderr)
+        return
+    except subprocess.TimeoutExpired:
+      pass
+    if time.time() > deadline:
+      raise SystemExit(
+          "bench: TPU tunnel unreachable (device probe failed for "
+          f"{max_wait_s:.0f}s) — infrastructure outage, not a framework "
+          "failure; rerun when the axon relay is back")
+    print(f"device probe failed (attempt {attempt}); retrying...",
+          file=sys.stderr)
+    time.sleep(60)
+
+
 def main():
+  if not os.environ.get("V4L_TPU_PLATFORM"):  # real-TPU runs only
+    _wait_for_device(float(os.environ.get("V4L_BENCH_TUNNEL_WAIT_S",
+                                          "900")))
   cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "config/rl/static/locotransformer/thin-goal.json")
   params = get_params(cfg_path)
