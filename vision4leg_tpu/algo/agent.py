@@ -204,6 +204,10 @@ class PPOAgent:
 
     self._rollout_jit = _rollout_jit
     self._update_jit = _update_jit
+    # batched scalar fetch for the epoch log (see train()): jitted so the
+    # whole gather is one device dispatch + one ~100-byte transfer
+    self._stack_scalars = jax.jit(lambda xs: jnp.stack(
+        [jnp.reshape(x, ()).astype(jnp.float32) for x in xs]))
 
     def train_epoch(ts: PPOTrainState, cs, key, max_ep=None):
       cs, traj, last_value = self._rollout_jit(ts.params, cs, max_ep)
@@ -354,18 +358,27 @@ class PPOAgent:
       max_ep = self._curriculum_episode_cap()
       self.train_state, self.collector_state, metrics = self._train_epoch(
           self.train_state, self.collector_state, k_up, max_ep)
-      jax.block_until_ready(metrics)
+      # ONE device dispatch + ONE device->host transfer for all epoch
+      # scalars: each `float(np.asarray(x))` is a separate round-trip,
+      # and on the tunneled TPU backend ~25 of them per epoch is pure
+      # latency (the transferred payload is ~100 bytes total).  The
+      # stacking itself is jitted (eager ops would each pay their own
+      # remote dispatch), and fetching it doubles as the epoch
+      # synchronization point (a per-leaf block_until_ready would again
+      # be one await per scalar).
+      cs = self.collector_state
+      keys = list(metrics)
+      stacked = np.asarray(self._stack_scalars(
+          [metrics[k] for k in keys]
+          + [cs.finished_count, cs.finished_returns_sum,
+             cs.finished_len_sum]))
       train_time = time.time() - t0
       self.total_frames += cfg.epoch_frames
-
-      infos = {k: float(np.asarray(v)) for k, v in metrics.items()}
-      cs = self.collector_state
-      fin = float(np.asarray(cs.finished_count))
+      infos = dict(zip(keys, map(float, stacked[:-3])))
+      fin = float(stacked[-3])
       if fin > 0:
-        infos["Running_Average_Rewards"] = float(
-            np.asarray(cs.finished_returns_sum)) / fin
-        infos["Running_Average_Eplen"] = float(
-            np.asarray(cs.finished_len_sum)) / fin
+        infos["Running_Average_Rewards"] = float(stacked[-2]) / fin
+        infos["Running_Average_Eplen"] = float(stacked[-1]) / fin
       self.collector_state = cs.replace(
           finished_returns_sum=jnp.zeros(()),
           finished_count=jnp.zeros(()),
