@@ -1,0 +1,72 @@
+"""End-to-end `PPOAgent.train()` at tiny scale.
+
+The epoch loop (rl_algo.py:111-167 semantics: per-epoch metric logging,
+eval-interval branch, best-snapshot selection, checkpoint cadence) was
+previously exercised only by the starter-CLI smoke; this pins it in the
+unit suite — including the batched one-transfer metric fetch and the
+donated-buffer rebinding across epochs.
+"""
+import csv
+import os
+import os.path as osp
+
+import numpy as np
+
+from vision4leg_tpu.algo.agent import PPOAgent
+from vision4leg_tpu.algo.ppo import PPOConfig
+from vision4leg_tpu.envs.get_env import get_env
+from vision4leg_tpu.models.actor_critic import StateActorCritic
+from vision4leg_tpu.utils.logger import Logger
+
+
+def test_train_loop_end_to_end(tmp_path):
+  env, meta = get_env("A1MoveGround", {
+      "obs_norm": True,
+      "env_build": {"motor_control_mode": "POSITION",
+                    "time_step_s": 0.0025, "num_action_repeat": 4,
+                    "diagonal_act": True,
+                    "clip_num": [0.05, 0.5, 0.5] * 4,
+                    "terrain_type": "plane"}})
+  module = StateActorCritic(action_dim=6, hidden_shapes=(16, 16),
+                            append_hidden_shapes=(16, 16))
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, opt_epochs=1, batch_size=8,
+                  epoch_frames=32, max_episode_frames=999, num_epochs=4)
+  logger = Logger("exp", "A1MoveGround", 0, {"p": 1}, str(tmp_path))
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4,
+                   seed=0, logger=logger, save_dir=osp.join(logger.work_dir, "model"),
+                   obs_norm=True,
+                   env_time_limit=20,      # short eval scan
+                   eval_interval=2, save_interval=2, num_eval_envs=2)
+  agent.train()
+
+  with open(logger.csv_file_path, newline="") as f:
+    rows = list(csv.DictReader(f))
+  assert [r["EPOCH"] for r in rows] == ["0", "1", "2", "3"]
+
+  # every logged scalar is finite (the one-transfer stacked fetch
+  # round-trips all of them through a single f32 vector)
+  for r in rows:
+    for k, v in r.items():
+      if v not in ("", None):
+        assert np.isfinite(float(v)), (k, v)
+
+  # update metrics and diagnostics flow through
+  assert float(rows[0]["diagnostics/nonfinite_obs"]) == 0.0
+  assert "Training/policy_loss" in rows[0]
+
+  # eval branch ran on epochs 2 and 4 (1-indexed interval), and the CSV
+  # realignment backfills the eval columns for the earlier epochs
+  assert rows[1]["Eval_Rewards_Average"] not in ("", None)
+  assert rows[3]["Eval_Rewards_Average"] not in ("", None)
+
+  # best snapshot + checkpoint cadence
+  assert os.path.exists(osp.join(logger.work_dir, "model", "model_pf_best.flax"))
+  assert os.path.exists(os.path.join(osp.join(logger.work_dir, "model"), "checkpoint"))
+
+  # resume path: restore_checkpoint picks up after the last saved epoch
+  agent2 = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4,
+                    seed=0, logger=logger, save_dir=osp.join(logger.work_dir, "model"),
+                    obs_norm=True, env_time_limit=20,
+                    eval_interval=2, save_interval=2, num_eval_envs=2)
+  nxt = agent2.restore_checkpoint()
+  assert nxt == 4  # checkpoint written at epoch 3 (0-indexed), resume at 4
