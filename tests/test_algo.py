@@ -445,3 +445,7 @@ def test_off_policy_agent_loop():
   for key, v in infos.items():
     assert np.isfinite(v), key
   assert int(agent.learner_state.update_count) == 8
+  # second epoch reuses the memoized jitted program (same step count)
+  agent.train_epoch(epoch_frames=32)
+  assert int(agent.learner_state.update_count) == 16
+  assert list(agent._epoch_programs) == [8]

@@ -17,6 +17,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from vision4leg_tpu.data import replay as replay_lib
@@ -68,6 +69,13 @@ class OffPolicyAgent:
 
     self._lo = env.action_low
     self._hi = env.action_high
+    # jitted epoch programs memoized by step count: a fresh jax.jit
+    # closure per train_epoch call would retrace (and without a warm
+    # persistent cache, recompile) the whole epoch scan every epoch
+    self._epoch_programs: dict = {}
+    # one-transfer scalar fetch for the epoch metrics (see PPOAgent)
+    self._stack_scalars = jax.jit(lambda xs: jnp.stack(
+        [jnp.reshape(x, ()).astype(jnp.float32) for x in xs]))
 
   # ------------------------------------------------------------------
   def _env_step(self, cs, params, key, random_actions: bool):
@@ -141,7 +149,20 @@ class OffPolicyAgent:
     """Collect epoch_frames with the current policy, updating the learner
     `updates_per_step` times per env timestep (update_per_timestep)."""
     steps = max(1, epoch_frames // self.num_envs)
+    run = self._epoch_programs.get(steps)
+    if run is None:
+      run = self._epoch_programs[steps] = self._build_epoch_program(steps)
 
+    self.key, k = jax.random.split(self.key)
+    self.collector_state, self.learner_state, avg_rew, infos = run(
+        self.collector_state, self.learner_state, k)
+    leaves, treedef = jax.tree.flatten(infos)
+    stacked = self._stack_scalars([avg_rew] + leaves)
+    vals = np.asarray(stacked)
+    return float(vals[0]), jax.tree.unflatten(
+        treedef, [float(v) for v in vals[1:]])
+
+  def _build_epoch_program(self, steps: int):
     @jax.jit
     def run(cs, ls, key):
       def body(carry, _):
@@ -171,7 +192,4 @@ class OffPolicyAgent:
           body, (cs, ls, key), None, length=steps)
       return cs, ls, jnp.mean(rews), jax.tree.map(jnp.mean, infos)
 
-    self.key, k = jax.random.split(self.key)
-    self.collector_state, self.learner_state, avg_rew, infos = run(
-        self.collector_state, self.learner_state, k)
-    return float(avg_rew), jax.tree.map(float, infos)
+    return run
