@@ -79,9 +79,25 @@ def run_experiment(build_module):
                                                     True),
   )
 
+  # Data parallelism is automatic on multi-chip hosts (SURVEY.md 2.6:
+  # the env axis is the reference's only parallel axis): shard envs over
+  # a jax.sharding.Mesh of all local devices and let GSPMD insert the
+  # gradient all-reduces over ICI.  V4L_MESH=0 opts out; single-chip
+  # hosts (this one) are unaffected.
+  mesh = None
+  n_dev = jax.device_count()
+  if (n_dev > 1 and os.environ.get("V4L_MESH", "1") != "0"):
+    if num_envs % n_dev == 0:
+      from vision4leg_tpu.parallel.mesh import make_mesh
+      mesh = make_mesh()
+      logger.log(f"env axis sharded over {n_dev}-device mesh")
+    else:
+      logger.log(f"V4L_MESH skipped: num_envs={num_envs} not divisible "
+                 f"by {n_dev} devices")
+
   agent = PPOAgent(
       env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
-      seed=args.seed, logger=logger,
+      seed=args.seed, logger=logger, mesh=mesh,
       save_dir=osp.join(logger.work_dir, "model"),
       eval_interval=gs.get("eval_interval", 10),
       save_interval=gs.get("save_interval", 100),

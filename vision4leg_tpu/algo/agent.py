@@ -155,6 +155,11 @@ class PPOAgent:
         env_time_limit=env_time_limit, reward_scale=reward_scale,
         apply_pi_v=apply_pi_v, inference_dtype=inference_dtype)
     self.collector_state = rollout_lib.init_collector(env, num_envs, k_coll)
+    if mesh is not None:
+      # engage data parallelism at construction: env axis sharded over
+      # the mesh, params replicated — GSPMD inserts the gradient
+      # all-reduces (SURVEY.md 2.6).  Idempotent if a caller re-places.
+      self._shard_over_mesh()
 
     # deterministic eval rollout (collector/base.py:235-288: eval_act=mean,
     # frozen normalizer)
@@ -240,6 +245,15 @@ class PPOAgent:
     self.total_frames = 0
 
   # ------------------------------------------------------------------
+  def _shard_over_mesh(self):
+    """Place training state on the data-parallel mesh: collector leaves
+    with a leading env axis sharded, everything else replicated."""
+    from vision4leg_tpu.parallel import mesh as mesh_lib
+    self.collector_state = mesh_lib.shard_collector_state(
+        self.mesh, self.collector_state)
+    self.train_state = jax.device_put(self.train_state,
+                                      mesh_lib.replicated(self.mesh))
+
   def save_checkpoint(self, epoch: int):
     """Full training checkpoint: params + BOTH optimizer states + duals +
     collector (normalizer, env states, RNG) — a true resume point.  The
@@ -309,6 +323,10 @@ class PPOAgent:
     self.key = ckpt["key"]
     self.best_eval = ckpt["best_eval"]
     self.total_frames = ckpt["total_frames"]
+    if self.mesh is not None:
+      # orbax restores host-local arrays; re-place on the mesh so the
+      # resumed epochs run the same sharded program as before the crash
+      self._shard_over_mesh()
     return int(ckpt["epoch"]) + 1
 
   def _curriculum_episode_cap(self):
