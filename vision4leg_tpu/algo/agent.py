@@ -59,6 +59,36 @@ def _unalias_donated(donated, protected=()):
   return jax.tree.map(fix, donated)
 
 
+_DONATION_USABLE = None
+
+
+def _donation_usable() -> bool:
+  """Whether buffer donation can be used safely on this backend.
+
+  Donation requires `_unalias_donated` to copy CSE-aliased jit outputs
+  first (XLA hands back ONE buffer for two identical outputs, e.g.
+  `last_base_pos`/`current_base_pos` at reset), and that dedup needs
+  `unsafe_buffer_pointer()`.  On remote-buffer backends (the axon TPU
+  tunnel) the pointer call raises for every array, aliases go
+  undetected, and executing a jit that donates an aliased leaf fails
+  the whole dispatch with `INVALID_ARGUMENT: TPU backend error` —
+  poisoning the donated inputs.  Probe pointer introspection once per
+  process; `V4L_DONATE=0/1` overrides.
+  """
+  global _DONATION_USABLE
+  if _DONATION_USABLE is None:
+    override = os.environ.get("V4L_DONATE", "")
+    if override in ("0", "1"):
+      _DONATION_USABLE = override == "1"
+    else:
+      try:
+        jax.device_put(jnp.zeros((1,))).unsafe_buffer_pointer()
+        _DONATION_USABLE = True
+      except Exception:  # noqa: BLE001 — remote buffers: no pointers
+        _DONATION_USABLE = False
+  return _DONATION_USABLE
+
+
 def _pad_zero_size(x):
   """Orbax cannot serialize zero-size arrays; pad the first zero axis to 1."""
   if hasattr(x, "shape") and hasattr(x, "size") and x.size == 0:
@@ -195,17 +225,22 @@ class PPOAgent:
     # scratch after its last minibatch read — without donation XLA must
     # hold input and output copies of both, which is what pushed the
     # 512-env heightfield config over HBM.  Callers must treat donated
-    # args as consumed (rebind, never reuse).
-    _rollout_exec = jax.jit(self.rollout, donate_argnums=(1,))
-    _update_exec = jax.jit(self.learner.update_per_epoch,
-                           donate_argnums=(0, 1))
+    # args as consumed (rebind, never reuse).  Donation is skipped when
+    # the backend cannot dedup CSE-aliased jit outputs (_donation_usable).
+    if _donation_usable():
+      _rollout_exec = jax.jit(self.rollout, donate_argnums=(1,))
+      _update_exec = jax.jit(self.learner.update_per_epoch,
+                             donate_argnums=(0, 1))
 
-    def _rollout_jit(params, cs, max_ep=None):
-      return _rollout_exec(params, _unalias_donated(cs), max_ep)
+      def _rollout_jit(params, cs, max_ep=None):
+        return _rollout_exec(params, _unalias_donated(cs), max_ep)
 
-    def _update_jit(ts, traj, last_value, key):
-      ts, traj = _unalias_donated((ts, traj), protected=(last_value,))
-      return _update_exec(ts, traj, last_value, key)
+      def _update_jit(ts, traj, last_value, key):
+        ts, traj = _unalias_donated((ts, traj), protected=(last_value,))
+        return _update_exec(ts, traj, last_value, key)
+    else:
+      _rollout_jit = jax.jit(self.rollout)
+      _update_jit = jax.jit(self.learner.update_per_epoch)
 
     self._rollout_jit = _rollout_jit
     self._update_jit = _update_jit
