@@ -70,3 +70,54 @@ def test_train_loop_end_to_end(tmp_path):
                     eval_interval=2, save_interval=2, num_eval_envs=2)
   nxt = agent2.restore_checkpoint()
   assert nxt == 4  # checkpoint written at epoch 3 (0-indexed), resume at 4
+
+
+def test_donation_fallback_paths(monkeypatch):
+  """Both donation regimes build working epoch programs.
+
+  The axon TPU tunnel cannot report buffer pointers, so
+  `_unalias_donated` cannot dedup CSE-aliased jit outputs and donating
+  the collector state fails the whole dispatch (INVALID_ARGUMENT) —
+  `_donation_usable()` therefore disables donate_argnums there.  Pin
+  that each forced regime (V4L_DONATE=0/1) trains an epoch and agrees
+  on the resulting loss; on backends that ignore donation (CPU) the two
+  programs are numerically identical.
+  """
+  import jax
+
+  import vision4leg_tpu.algo.agent as agent_mod
+
+  env, meta = get_env("A1MoveGround", {
+      "obs_norm": True,
+      "env_build": {"motor_control_mode": "POSITION",
+                    "time_step_s": 0.0025, "num_action_repeat": 4,
+                    "diagonal_act": True,
+                    "clip_num": [0.05, 0.5, 0.5] * 4,
+                    "terrain_type": "plane"}})
+  module = StateActorCritic(action_dim=6, hidden_shapes=(16, 16),
+                            append_hidden_shapes=(16, 16))
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, opt_epochs=1, batch_size=8,
+                  epoch_frames=32, max_episode_frames=999, num_epochs=1)
+
+  class _Null:
+    work_dir = "/tmp/v4l_donation_test"
+    def add_epoch_info(self, *a, **k): pass
+    def add_update_info(self, *a, **k): pass
+    def log(self, *a, **k): pass
+
+  losses = {}
+  for donate in ("0", "1"):
+    monkeypatch.setenv("V4L_DONATE", donate)
+    monkeypatch.setattr(agent_mod, "_DONATION_USABLE", None)
+    agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4,
+                     seed=0, logger=_Null(), save_dir=_Null.work_dir,
+                     obs_norm=True, env_time_limit=20,
+                     eval_interval=10, save_interval=10, num_eval_envs=2)
+    assert agent_mod._donation_usable() is (donate == "1")
+    ts, cs, m = agent._train_epoch(agent.train_state,
+                                   agent.collector_state,
+                                   jax.random.PRNGKey(7))
+    losses[donate] = float(m["Training/policy_loss"])
+    assert np.isfinite(losses[donate])
+  monkeypatch.setattr(agent_mod, "_DONATION_USABLE", None)
+  assert losses["0"] == losses["1"]
