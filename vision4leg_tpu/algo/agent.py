@@ -405,9 +405,16 @@ class PPOAgent:
       # checkpoint so the resumed run doesn't append duplicate epochs
       if hasattr(self.logger, "truncate_epochs_from"):
         self.logger.truncate_epochs_from(start_epoch)
+    # the whole run's RNG schedule in ONE dispatch + ONE transfer: an
+    # eager jax.random.split costs ~36 ms of tunnel latency per epoch on
+    # the axon backend (22 s over a 611-epoch run).  self.key stays
+    # fixed across train(), so a resumed run at epoch N re-derives the
+    # identical schedule from the checkpointed key.
+    key_sched = np.asarray(jax.jit(
+        lambda k: jax.random.split(k, (cfg.num_epochs, 2)))(self.key))
     for epoch in range(start_epoch, cfg.num_epochs):
       t0 = time.time()
-      self.key, k_up, k_ev = jax.random.split(self.key, 3)
+      k_up, k_ev = key_sched[epoch, 0], key_sched[epoch, 1]
       max_ep = self._curriculum_episode_cap()
       self.train_state, self.collector_state, metrics = self._train_epoch(
           self.train_state, self.collector_state, k_up, max_ep)
