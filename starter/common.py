@@ -95,9 +95,20 @@ def run_experiment(build_module):
       logger.log(f"V4L_MESH skipped: num_envs={num_envs} not divisible "
                  f"by {n_dev} devices")
 
+  # V4L_BF16_COLLECT=1: run the collection-policy forward in bfloat16
+  # (the PPO update stays f32) — the MXU inference lever bench.py exposes
+  # as V4L_BENCH_BF16, here for full training runs so its effect on
+  # learning can be measured (PARITY.md horizon/bf16 evidence runs).
+  inference_dtype = None
+  if os.environ.get("V4L_BF16_COLLECT", "") not in ("", "0"):
+    import jax.numpy as jnp
+    inference_dtype = jnp.bfloat16
+    logger.log("bfloat16 collection forward enabled (V4L_BF16_COLLECT)")
+
   agent = PPOAgent(
       env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
       seed=args.seed, logger=logger, mesh=mesh,
+      inference_dtype=inference_dtype,
       save_dir=osp.join(logger.work_dir, "model"),
       eval_interval=gs.get("eval_interval", 10),
       save_interval=gs.get("save_interval", 100),
