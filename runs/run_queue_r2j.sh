@@ -1,10 +1,16 @@
 #!/bin/bash
-# Round-2 queue, part I: bf16-collection evidence run.  thin-goal at the
-# T=64 regime (256 envs) with V4L_BF16_COLLECT=1 — if eval reward matches
-# the f32 thin_goal_T64 run, the bf16 collection forward is safe to
-# recommend (and to default in bench.py's headline).  Waits for r2j.
+# Round-2 queue, part J: resume mount_10M (killed at epoch 262 by a
+# tunnel outage, then every r2g retry was insta-killed by the stale
+# log.csv stall-detector bug fixed below).  Resumes from the epoch-199
+# checkpoint.  Waits for r2h, then a perf-session gate (<=60 min).
 cd /root/repo
-until grep -q QUEUE_R2J_DONE /tmp/queue_r2.log 2>/dev/null; do sleep 120; done
+until grep -q QUEUE_R2H_DONE /tmp/queue_r2.log 2>/dev/null; do sleep 120; done
+# leave the chip idle for an interactive profiling/bench session first:
+# proceed when the gate opens, or after 60 min regardless so the run is
+# never lost to an absent operator
+GATE_T0=$(date +%s)
+until [ -e /tmp/perf_gate_open ] || \
+      [ $(( $(date +%s) - GATE_T0 )) -gt 3600 ]; do sleep 60; done
 
 tunnel_up() {
   timeout 180 python - <<'EOF' >/dev/null 2>&1
@@ -58,8 +64,6 @@ run() {
   echo "FAILED $id" >> /tmp/queue_r2.log
 }
 
-export V4L_BF16_COLLECT=1
-run thin_goal_T64_bf16 starter/ppo_locotransformer.py \
-    config/rl/static/locotransformer/thin-goal.json 256 --overwrite
-unset V4L_BF16_COLLECT
-echo QUEUE_R2I_DONE >> /tmp/queue_r2.log
+run mount_10M starter/ppo_locotransformer.py \
+    config/rl/challenge/locotransformer/mountain.json 512 --overwrite
+echo QUEUE_R2J_DONE >> /tmp/queue_r2.log
