@@ -5,6 +5,7 @@ physics window, policy forward).
   python tools/ablate_rollout.py            # thin-goal, 1024 envs
 """
 import json
+import os
 import os.path as osp
 import sys
 import time
@@ -61,13 +62,23 @@ def main():
       "empty_image (no raycast)": {"empty_image": True},
       "no blind spots/preproc": {"depth_image": False},
       "image_interval=2": {"get_image_interval": 2},
+      # physics-share probe: 4 substeps instead of 16 — the delta x 4/3
+      # approximates the full physics-window cost (different task
+      # semantics; timing only)
+      "action_repeat=4": {"num_action_repeat": 4},
+      # physics + raycast both out: what's left is policy forward +
+      # sensors/obs assembly/bookkeeping
+      "empty_image + action_repeat=4": {"empty_image": True,
+                                        "num_action_repeat": 4},
   }
   base = None
   for name, over in variants.items():
     p = json.loads(json.dumps(params))
     p["env"]["env_build"].update(over)
     env, meta = get_env(p["env_name"], p["env"])
-    dt = time_rollout(env, meta, p)
+    dt = time_rollout(env, meta, p,
+                      num_envs=int(os.environ.get("V4L_ABLATE_ENVS",
+                                                  "1024")))
     if base is None:
       base = dt
     print(f"{name:28s} rollout {dt*1000:7.1f} ms/epoch "
