@@ -27,7 +27,16 @@ class _NullLogger:
   def log(self, *a, **k): pass
 
 
-def time_rollout(env, meta, params_json, num_envs=1024, n=3):
+def time_rollout(env, meta, params_json, num_envs=1024, n=3,
+                 stub_reset=False):
+  if stub_reset:
+    # replace the partial-reset path's env.reset with a captured constant:
+    # the rollout's do_resets (terrain gen + settle + first camera frame
+    # for ALL envs, then masked in) runs on ~64% of steps at 1024 envs x
+    # 999-step episodes — this variant times the rollout with that work
+    # reduced to a select, isolating the reset-path cost
+    s0, o0 = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    env.reset = lambda key: (s0, o0)
   module = LocoTransformerActorCritic(
       action_dim=env.cfg.action_dim,
       state_input_shape=env.cfg.proprio_dim,
@@ -70,13 +79,16 @@ def main():
       # sensors/obs assembly/bookkeeping
       "empty_image + action_repeat=4": {"empty_image": True,
                                         "num_action_repeat": 4},
+      "stub reset (reset-path cost)": {"__stub_reset__": True},
   }
   base = None
   for name, over in variants.items():
     p = json.loads(json.dumps(params))
+    over = dict(over)
+    stub = over.pop("__stub_reset__", False)
     p["env"]["env_build"].update(over)
     env, meta = get_env(p["env_name"], p["env"])
-    dt = time_rollout(env, meta, p,
+    dt = time_rollout(env, meta, p, stub_reset=stub,
                       num_envs=int(os.environ.get("V4L_ABLATE_ENVS",
                                                   "1024")))
     if base is None:
