@@ -171,7 +171,12 @@ class TransformerEncoderLayer(nn.Module):
 
   @nn.compact
   def __call__(self, x, fused: bool = False):  # (B, T, D)
-    if fused and self.n_head == 1 and not self.is_initializing():
+    # Pallas path is f32-only: under bf16 collection this Mosaic version
+    # rejects the kernel's 2D<->3D reshapes ("unsupported shape cast")
+    # and bf16 stores from f32 accumulators; XLA handles bf16 natively
+    # on the MXU, so the fallback loses nothing that matters
+    if (fused and self.n_head == 1 and x.dtype == jnp.float32
+        and not self.is_initializing()):
       from vision4leg_tpu.ops import attention as pallas_attn
       w = pallas_attn.weights_from_flax(self.variables["params"],
                                         self.d_model)

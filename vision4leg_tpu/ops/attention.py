@@ -78,10 +78,16 @@ def _layer_math(x, w: LayerWeights, T: int, D: int):
   """The shared math: x is (TB, T, D) -> (TB, T, D). Used both inside the
   pallas kernel (on VMEM refs' values) and as the XLA fallback."""
   tb = x.shape[0]
+  # every matmul accumulates in f32: Mosaic rejects low-precision matmul
+  # accumulators ("Expected matmul acc to be 32-bit") under bf16 inputs,
+  # and f32 accumulation is what the MXU does natively anyway
+  def dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
   flat = x.reshape(tb * T, D)
-  q = (flat @ w.wq + w.bq).reshape(tb, T, D)
-  k = (flat @ w.wk + w.bk).reshape(tb, T, D)
-  v = (flat @ w.wv + w.bv).reshape(tb, T, D)
+  q = (dot(flat, w.wq) + w.bq).reshape(tb, T, D)
+  k = (dot(flat, w.wk) + w.bk).reshape(tb, T, D)
+  v = (dot(flat, w.wv) + w.bv).reshape(tb, T, D)
   scores = jax.lax.dot_general(
       q, k, (((2,), (2,)), ((0,), (0,))),
       preferred_element_type=jnp.float32) / (D ** 0.5)
@@ -89,11 +95,15 @@ def _layer_math(x, w: LayerWeights, T: int, D: int):
   ctx = jax.lax.dot_general(
       attn, v, (((2,), (1,)), ((0,), (0,))),
       preferred_element_type=jnp.float32)
-  out = (ctx.reshape(tb * T, D) @ w.wo + w.bo).reshape(tb, T, D)
-  x = _layer_norm(x + out, w.ln1_scale, w.ln1_bias)
-  h = jnp.maximum(x.reshape(tb * T, D) @ w.w1 + w.b1, 0.0)
-  f = (h @ w.w2 + w.b2).reshape(tb, T, D)
-  return _layer_norm(x + f, w.ln2_scale, w.ln2_bias)
+  out = (dot(ctx.reshape(tb * T, D), w.wo) + w.bo).reshape(tb, T, D)
+  y = _layer_norm(x + out, w.ln1_scale, w.ln1_bias)
+  h = jnp.maximum(dot(y.reshape(tb * T, D), w.w1) + w.b1, 0.0)
+  f = (dot(h, w.w2) + w.b2).reshape(tb, T, D)
+  # under bf16 collection (inference_dtype) x is bfloat16 while the
+  # attention/LayerNorm math accumulates in f32 (preferred_element_type
+  # + promotion); the kernel's output ref has x.dtype, and a Pallas
+  # store is dtype-strict ("Invalid dtype for swap") — cast back
+  return _layer_norm(y + f, w.ln2_scale, w.ln2_bias).astype(x.dtype)
 
 
 def _kernel(x_ref, *refs):
