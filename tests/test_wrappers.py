@@ -115,3 +115,84 @@ def test_norm_ret_scales_by_return_std():
   # dones reset the running return
   st2, _ = W.norm_ret_step(st, jnp.ones(E), jnp.ones(E))
   np.testing.assert_allclose(np.asarray(st2.ret), 0.0, atol=1e-6)
+
+
+# --- trajectory-generator wrapper (trajectory_generator_wrapper_env.py) ---
+
+def _tg_env():
+  from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+  # minimal flat-plane env, raw 12-dim motor-angle action space
+  return A1GymEnv(EnvConfig(motor_control_mode="POSITION",
+                            time_step_s=0.0025, num_action_repeat=16,
+                            diagonal_act=False))
+
+
+def test_tg_wrapper_rejects_bad_generator():
+  """Reference validates get_action/get_observation at construction and
+  raises ValueError (trajectory_generator_wrapper_env.py:41-46)."""
+  import pytest
+  from vision4leg_tpu.envs.trajectory_generator import (
+      TrajectoryGeneratorWrapper)
+  with pytest.raises(ValueError):
+    TrajectoryGeneratorWrapper(_tg_env(), object())
+
+
+def test_tg_zero_signal_is_transparent():
+  """With zero amplitudes and zero residual the wrapper must reproduce the
+  bare env stepping INIT_MOTOR_ANGLES exactly (the generator emits the
+  standing pose), and the obs must gain exactly the (cos, sin) phase tail."""
+  from vision4leg_tpu.envs.trajectory_generator import (
+      OpenloopGaitGenerator, TrajectoryGeneratorWrapper)
+  from vision4leg_tpu.robots import a1_params as P
+
+  env = _tg_env()
+  tg = OpenloopGaitGenerator(swing_amplitude=0.0, extension_amplitude=0.0)
+  wrapped = TrajectoryGeneratorWrapper(env, tg)
+  assert wrapped.obs_dim == env.obs_dim + 2
+
+  key = jax.random.PRNGKey(3)
+  carry, obs_w = wrapped.reset(key)
+  state_b, obs_b = env.reset(key)
+  np.testing.assert_allclose(np.asarray(obs_w[:-2]), np.asarray(obs_b),
+                             rtol=0, atol=0)
+
+  zero_residual = jnp.zeros(12)
+  init12 = jnp.asarray(P.INIT_MOTOR_ANGLES)
+  step_w = jax.jit(wrapped.step)
+  step_b = jax.jit(env.step)
+  for _ in range(3):
+    carry, obs_w, rew_w, done_w, _ = step_w(carry, zero_residual)
+    state_b, obs_b, rew_b, done_b, _ = step_b(state_b, init12)
+    np.testing.assert_allclose(np.asarray(obs_w[:-2]), np.asarray(obs_b),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(float(rew_w), float(rew_b), rtol=0, atol=0)
+
+
+def test_tg_openloop_trot_phases_and_limits():
+  """The open-loop signal advances phase at 2*pi*f*dt per step, keeps
+  diagonal leg pairs in antiphase, and always emits in-limit motor
+  angles even under extreme residuals."""
+  from vision4leg_tpu.envs.trajectory_generator import (
+      OpenloopGaitGenerator, TGState)
+  from vision4leg_tpu.robots import a1_params as P
+
+  tg = OpenloopGaitGenerator(frequency_hz=1.25, control_dt=0.04)
+  st = tg.reset()
+  st1, motor = tg.get_action(st, jnp.zeros(()), jnp.zeros(12))
+  np.testing.assert_allclose(float(st1.phase),
+                             2 * np.pi * 1.25 * 0.04, rtol=1e-6)
+  # phase 0: zero swing everywhere -> standing pose
+  np.testing.assert_allclose(np.asarray(motor),
+                             np.asarray(P.INIT_MOTOR_ANGLES), atol=1e-6)
+  # quarter cycle: FR/RL thighs swing forward, FL/RR are in the other
+  # half (trot antiphase)
+  quarter = TGState(phase=jnp.asarray(np.pi / 2))
+  _, motor_q = tg.get_action(quarter, jnp.zeros(()), jnp.zeros(12))
+  thigh = np.asarray(motor_q).reshape(4, 3)[:, 1] - 0.9
+  assert thigh[0] > 0.0 and thigh[3] > 0.0          # FR, RL swing
+  np.testing.assert_allclose(thigh[1], -thigh[0], atol=1e-6)  # FL mirrors
+  # joint limits hold under a huge residual
+  _, motor_big = tg.get_action(st, jnp.zeros(()), 100.0 * jnp.ones(12))
+  assert np.all(np.asarray(motor_big) <= np.asarray(P.JOINT_UPPER) + 1e-6)
+  _, motor_small = tg.get_action(st, jnp.zeros(()), -100.0 * jnp.ones(12))
+  assert np.all(np.asarray(motor_small) >= np.asarray(P.JOINT_LOWER) - 1e-6)
