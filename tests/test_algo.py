@@ -449,3 +449,69 @@ def test_off_policy_agent_loop():
   agent.train_epoch(epoch_frames=32)
   assert int(agent.learner_state.update_count) == 16
   assert list(agent._epoch_programs) == [8]
+
+
+def test_warm_start_from_snapshot(tmp_path):
+  """When the orbax checkpoint is gone but the best snapshot + log.csv
+  survive (a fresh clone of a committed run), restore_checkpoint must
+  warm-start: params + normalizer from the snapshot, epoch/frames/
+  best_eval from the log — instead of silently restarting at epoch 0."""
+  import numpy as np
+  from vision4leg_tpu.algo.agent import PPOAgent
+  from vision4leg_tpu.algo.ppo import PPOConfig
+  from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+  from vision4leg_tpu.models.actor_critic import StateActorCritic
+
+  env = A1GymEnv(EnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.05, 0.5, 0.5) * 4,
+      time_step_s=0.0025, num_action_repeat=4, add_last_action_input=True,
+      no_displacement=True, diagonal_act=True, alive_reward=-0.05,
+      terrain_type="plane", settle_steps=20))
+  module = StateActorCritic(action_dim=6, hidden_shapes=(32,),
+                            append_hidden_shapes=(32,))
+  cfg = PPOConfig(plr=1e-4, vlr=1e-4, opt_epochs=1, batch_size=8,
+                  epoch_frames=16, max_episode_frames=8, num_epochs=1)
+
+  work_dir = tmp_path / "run"
+  save_dir = work_dir / "model"
+  save_dir.mkdir(parents=True)
+
+  class _NullLogger:
+    def add_epoch_info(self, *a, **k): pass
+    def log(self, *a, **k): pass
+  _NullLogger.work_dir = str(work_dir)
+
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4, seed=0,
+                   logger=_NullLogger(), save_dir=str(save_dir),
+                   obs_norm=True)
+  # make the saved state distinguishable from a fresh init
+  nrm = agent.collector_state.normalizer
+  agent.collector_state = agent.collector_state.replace(
+      normalizer=nrm.replace(mean=nrm.mean + 3.5, count=nrm.count + 100.0))
+  agent.snapshot("best")
+  with open(work_dir / "log.csv", "w") as f:
+    f.write("EPOCH,Total Frames,Eval_Rewards_Average\n")
+    f.write("0,16,\n1,32,12.5\n2,48,7.0\n")
+
+  agent2 = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4, seed=1,
+                    logger=_NullLogger(), save_dir=str(save_dir),
+                    obs_norm=True)
+  next_epoch = agent2.restore_checkpoint()
+  assert next_epoch == 3
+  assert agent2.total_frames == 48
+  assert agent2.best_eval == 12.5
+  for x, y in zip(jax.tree.leaves(agent.train_state.params),
+                  jax.tree.leaves(agent2.train_state.params)):
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+  np.testing.assert_allclose(
+      np.asarray(agent2.collector_state.normalizer.mean),
+      np.asarray(agent.collector_state.normalizer.mean))
+  np.testing.assert_allclose(
+      float(agent2.collector_state.normalizer.count),
+      float(agent.collector_state.normalizer.count))
+
+  # and with neither checkpoint nor snapshot artifacts: a plain 0
+  agent3 = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4, seed=2,
+                    logger=_NullLogger(), save_dir=str(tmp_path / "empty"),
+                    obs_norm=True)
+  assert agent3.restore_checkpoint() == 0

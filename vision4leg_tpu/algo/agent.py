@@ -318,12 +318,71 @@ class PPOAgent:
     with ocp.PyTreeCheckpointer() as ckptr:
       ckptr.save(path, ckpt, force=True)
 
+  def _warm_start_from_snapshot(self) -> int:
+    """Fallback resume when the orbax checkpoint is gone but the best
+    snapshot + log.csv survived — e.g. a fresh clone of a committed run
+    (full checkpoints are too large to commit; snapshots are not).
+
+    Restores params + obs normalizer from model_pf_best.flax and picks
+    epoch / total_frames / best_eval back up from log.csv.  Optimizer
+    state and env states restart fresh, so this is a warm start, not a
+    bit-exact resume; the caller logs it as such.  best_eval is restored
+    to the log's max so the surviving best snapshot is never overwritten
+    by a worse post-resume eval."""
+    pf = osp.join(self.save_dir, "model_pf_best.flax")
+    nz = osp.join(self.save_dir, "_obs_normalizer_best.npz")
+    log_csv = osp.join(osp.dirname(osp.abspath(self.save_dir)), "log.csv")
+    if not (osp.exists(pf) and osp.exists(nz) and osp.exists(log_csv)):
+      return 0
+    with open(log_csv) as f:
+      header = f.readline().rstrip("\n").split(",")
+      if "EPOCH" not in header or "Total Frames" not in header:
+        return 0
+      i_ep = header.index("EPOCH")
+      i_fr = header.index("Total Frames")
+      i_ev = (header.index("Eval_Rewards_Average")
+              if "Eval_Rewards_Average" in header else None)
+      last_epoch, total_frames, best = -1, 0, -np.inf
+      for line in f:
+        row = line.rstrip("\n").split(",")
+        try:
+          last_epoch = int(float(row[i_ep]))
+          total_frames = int(float(row[i_fr]))
+        except (ValueError, IndexError):
+          continue
+        if i_ev is not None and i_ev < len(row) and row[i_ev]:
+          try:
+            best = max(best, float(row[i_ev]))
+          except ValueError:
+            pass
+    if last_epoch < 0:
+      return 0
+    with open(pf, "rb") as f:
+      params = serialization.from_bytes(self.train_state.params, f.read())
+    self.train_state = self.train_state.replace(params=params)
+    d = np.load(nz)
+    cs = self.collector_state
+    self.collector_state = cs.replace(normalizer=cs.normalizer.replace(
+        mean=jnp.asarray(d["mean"]), var=jnp.asarray(d["var"]),
+        count=jnp.asarray(d["count"])))
+    self.total_frames = total_frames
+    if np.isfinite(best):
+      self.best_eval = float(best)
+    if self.mesh is not None:
+      self._shard_over_mesh()
+    self.logger.log(
+        f"warm start from best snapshot: epoch {last_epoch + 1}, "
+        f"{total_frames} frames, best_eval {self.best_eval:.1f} "
+        "(no full checkpoint found; optimizer/env state reinitialized)")
+    return last_epoch + 1
+
   def restore_checkpoint(self) -> int:
-    """Restore a full checkpoint if present; returns the next epoch."""
+    """Restore a full checkpoint if present; returns the next epoch.
+    Falls back to a snapshot warm start when no checkpoint exists."""
     import orbax.checkpoint as ocp
     path = osp.join(osp.abspath(self.save_dir), "checkpoint")
     if not osp.exists(path):
-      return 0
+      return self._warm_start_from_snapshot()
     template = {"train_state": self.train_state,
                 "collector_state": self.collector_state,
                 "key": self.key,
