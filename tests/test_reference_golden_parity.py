@@ -1,0 +1,406 @@
+"""GOLDEN parity against the REAL reference torch code at /root/reference.
+
+Unlike tests/test_ppo_torch_parity.py (which pins the update math against a
+builder-written torch twin), these tests import the reference's own modules
+(`torchrl.networks.nets.LocoTransformer` nets.py:909-1038,
+`GaussianContPolicyLocoTransformer` continuous_policy.py:478,
+`torchrl.algo.PPO.update_per_epoch` algo/on_policy/ppo.py:28-161,
+`OnPolicyReplayBuffer.generalized_advantage_estimation` + `one_iteration`
+replay_buffers/on_policy.py:17-93) and drive them directly:
+
+  * forward parity: flax params transplanted into the real reference
+    networks (LocoTransformer pf/vf, Net/GaussianContPolicyBasicBias,
+    NatureFuseEncoder + ImpalaEncoderProjNet) produce the same mean / std /
+    logstd / value on random observations;
+  * update parity: the real `PPO.update_per_epoch` (real buffer GAE, real
+    minibatch iteration, real dual-Adam/grad-clip/adv-norm update) and the
+    repo's jitted PPOLearner, started from identical transplanted weights
+    and identical synthetic trajectories, land on the same parameters.
+
+Import recipe proven by tools/measure_reference.py:41-53 — gymnasium shims
+`gym`, no pybullet needed for the torchrl import surface driven here.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if not os.path.isdir(os.path.join(REF, "torchrl")):
+  pytest.skip("reference checkout not available", allow_module_level=True)
+
+import gymnasium  # noqa: E402
+
+sys.modules.setdefault("gym", gymnasium)
+if REF not in sys.path:
+  sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import torchrl.networks as ref_networks  # noqa: E402
+import torchrl.policies as ref_policies  # noqa: E402
+from torchrl.algo import PPO as RefPPO  # noqa: E402
+from torchrl.replay_buffers.on_policy import OnPolicyReplayBuffer  # noqa: E402
+
+from vision4leg_tpu.algo.ppo import PPOConfig, PPOLearner  # noqa: E402
+from vision4leg_tpu.collector.rollout import Transition  # noqa: E402
+from vision4leg_tpu.models.actor_critic import (  # noqa: E402
+    LocoTransformerActorCritic, NatureFuseActorCritic, StateActorCritic)
+
+PROPRIO, CH, ADIM = 20, 4, 6
+OBS_DIM = PROPRIO + CH * 64 * 64
+
+
+# ---------------------------------------------------------------------------
+# flax -> torch weight transplant helpers
+# ---------------------------------------------------------------------------
+def _t(x):
+  return torch.tensor(np.asarray(x, np.float32))
+
+
+def _lin(dst: torch.nn.Linear, p):
+  with torch.no_grad():
+    dst.weight.copy_(_t(p["kernel"]).T)
+    dst.bias.copy_(_t(p["bias"]))
+
+
+def _conv(dst: torch.nn.Conv2d, p):
+  # flax Conv kernel (H, W, In, Out) -> torch (Out, In, H, W)
+  with torch.no_grad():
+    dst.weight.copy_(_t(p["kernel"]).permute(3, 2, 0, 1))
+    dst.bias.copy_(_t(p["bias"]))
+
+
+def _ln(dst: torch.nn.LayerNorm, p):
+  with torch.no_grad():
+    dst.weight.copy_(_t(p["scale"]))
+    dst.bias.copy_(_t(p["bias"]))
+
+
+def _attn_layer(dst, p):
+  """flax MultiHeadDotProductAttention(num_heads=1) + post-norm FFN ->
+  torch nn.TransformerEncoderLayer (the reference's layer, dropout=0)."""
+  a = p["MultiHeadDotProductAttention_0"]
+  d = int(np.asarray(a["out"]["bias"]).shape[0])
+  wq = _t(a["query"]["kernel"]).reshape(d, d)   # (in, out)
+  wk = _t(a["key"]["kernel"]).reshape(d, d)
+  wv = _t(a["value"]["kernel"]).reshape(d, d)
+  with torch.no_grad():
+    dst.self_attn.in_proj_weight.copy_(
+        torch.cat([wq.T, wk.T, wv.T], dim=0))
+    dst.self_attn.in_proj_bias.copy_(torch.cat([
+        _t(a["query"]["bias"]).reshape(-1),
+        _t(a["key"]["bias"]).reshape(-1),
+        _t(a["value"]["bias"]).reshape(-1)]))
+    dst.self_attn.out_proj.weight.copy_(
+        _t(a["out"]["kernel"]).reshape(d, d).T)
+    dst.self_attn.out_proj.bias.copy_(_t(a["out"]["bias"]))
+  _lin(dst.linear1, p["Dense_0"])
+  _lin(dst.linear2, p["Dense_1"])
+  _ln(dst.norm1, p["LayerNorm_0"])
+  _ln(dst.norm2, p["LayerNorm_1"])
+
+
+def _load_nature(dst, p):
+  """flax NatureEncoder -> reference NatureEncoder (base.py:304-343)."""
+  _conv(dst.layers[0], p["Conv_0"])
+  _conv(dst.layers[2], p["Conv_1"])
+  _conv(dst.layers[4], p["Conv_2"])
+
+
+def _load_loco_encoder(enc, p):
+  """flax LocoTransformerEncoder params -> reference LocoTransformerEncoder
+  (base.py:497-627), depth-only wiring (in_channels=4)."""
+  _load_nature(enc.depth_visual_base, p["NatureEncoder_0"])
+  _conv(enc.depth_up_conv, p["Conv_0"])
+  _lin(enc.base.seq_fcs[0], p["MLPBase_0"]["Dense_0"])
+  _lin(enc.base.seq_fcs[2], p["MLPBase_0"]["Dense_1"])
+  _lin(enc.state_projector.projection[0], p["RLProjection_0"]["Dense_0"])
+
+
+def _load_loco_net(net, params, layers_prefix, mlp_key):
+  """Transformer stack + append-MLP of a reference LocoTransformer."""
+  for i, tl in enumerate(net.visual_append_layers):
+    _attn_layer(tl, params[f"{layers_prefix}_{i}"])
+  fcs = [m for m in net.visual_seq_append_fcs
+         if isinstance(m, torch.nn.Linear)]
+  for i, fc in enumerate(fcs):
+    _lin(fc, params[mlp_key][f"Dense_{i}"])
+
+
+def _build_ref_loco_pair(params):
+  """Reference pf/vf with the repo's flax params transplanted in.
+
+  Mirrors starter/ppo_locotransformer.py:79-101: one encoder object shared
+  by policy and value networks."""
+  p = params["params"]
+  encoder = ref_networks.LocoTransformerEncoder(
+      in_channels=CH, state_input_dim=PROPRIO, hidden_shapes=[256, 256],
+      token_dim=64)
+  pf = ref_policies.GaussianContPolicyLocoTransformer(
+      encoder=encoder, state_input_shape=PROPRIO,
+      visual_input_shape=(CH, 64, 64), output_shape=ADIM,
+      transformer_params=[[1, 256], [1, 256]],
+      append_hidden_shapes=[256, 256], base_type=ref_networks.MLPBase)
+  vf = ref_networks.LocoTransformer(
+      encoder=encoder, state_input_shape=PROPRIO,
+      visual_input_shape=(CH, 64, 64), output_shape=1,
+      transformer_params=[[1, 256], [1, 256]],
+      append_hidden_shapes=[256, 256], base_type=ref_networks.MLPBase)
+  _load_loco_encoder(encoder, p["encoder"])
+  _load_loco_net(pf, p, "pf_layers", "pf_mlp")
+  _load_loco_net(vf, p, "vf_layers", "vf_mlp")
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+  return pf, vf
+
+
+def _flax_loco():
+  module = LocoTransformerActorCritic(
+      action_dim=ADIM, state_input_shape=PROPRIO,
+      visual_input_shape=(CH, 64, 64), encoder_hidden_shapes=(256, 256),
+      transformer_params=((1, 256), (1, 256)),
+      append_hidden_shapes=(256, 256))
+  params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, OBS_DIM)))
+  return module, params
+
+
+def _rand_obs(key, shape):
+  return jax.random.normal(key, shape, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward parity
+# ---------------------------------------------------------------------------
+def test_locotransformer_forward_matches_reference():
+  module, params = _flax_loco()
+  pf, vf = _build_ref_loco_pair(params)
+  pf.eval(), vf.eval()
+
+  obs = _rand_obs(jax.random.PRNGKey(1), (5, OBS_DIM))
+  mean_j, std_j, logstd_j = module.apply(params, obs, method=module.pi)
+  v_j = module.apply(params, obs, method=module.v)
+
+  obs_t = torch.tensor(np.asarray(obs))
+  with torch.no_grad():
+    mean_t, std_t, logstd_t = pf(obs_t)
+    v_t = vf(obs_t)
+
+  np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(logstd_j),
+                             logstd_t.numpy(), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
+
+
+def test_state_policy_forward_matches_reference():
+  """ppo_state wiring: GaussianContPolicyBasicBias + Net with a shared
+  MLPBase (starter/ppo_state.py:93-104)."""
+  obs_dim = 33
+  module = StateActorCritic(action_dim=ADIM, hidden_shapes=(64, 64),
+                            append_hidden_shapes=(32, 32))
+  params = module.init(jax.random.PRNGKey(2), jnp.zeros((1, obs_dim)))
+  p = params["params"]
+
+  pf = ref_policies.GaussianContPolicyBasicBias(
+      input_shape=obs_dim, output_shape=ADIM,
+      base_type=ref_networks.MLPBase, hidden_shapes=[64, 64],
+      append_hidden_shapes=[32, 32])
+  vf = ref_networks.Net(
+      input_shape=obs_dim, output_shape=1, base_type=ref_networks.MLPBase,
+      hidden_shapes=[64, 64], append_hidden_shapes=[32, 32])
+  vf.base = pf.base  # the reference's shared trunk
+  _lin(pf.base.seq_fcs[0], p["base"]["Dense_0"])
+  _lin(pf.base.seq_fcs[2], p["base"]["Dense_1"])
+  for i in range(3):
+    _lin(pf.seq_append_fcs[2 * i], p["pf_mlp"][f"Dense_{i}"])
+    _lin(vf.seq_append_fcs[2 * i], p["vf_mlp"][f"Dense_{i}"])
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+
+  obs = _rand_obs(jax.random.PRNGKey(3), (7, obs_dim))
+  mean_j, std_j, _ = module.apply(params, obs, method=module.pi)
+  v_j = module.apply(params, obs, method=module.v)
+  obs_t = torch.tensor(np.asarray(obs))
+  with torch.no_grad():
+    mean_t, std_t, _ = pf(obs_t)
+    v_t = vf(obs_t)
+  np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-5)
+
+
+def test_naturefuse_forward_matches_reference():
+  """ppo_nature_cnn wiring: NatureFuseEncoder shared by
+  GaussianContPolicyImpalaEncoderProj + ImpalaEncoderProjNet
+  (starter/ppo_nature_cnn.py:81-103; the 'Impala' names are historical —
+  they consume any encoder returning (visual_out, state_out))."""
+  module = NatureFuseActorCritic(
+      action_dim=ADIM, state_input_shape=PROPRIO,
+      visual_input_shape=(CH, 64, 64), encoder_hidden_shapes=(64, 64),
+      visual_dim=128, append_hidden_shapes=(64, 64))
+  params = module.init(jax.random.PRNGKey(4), jnp.zeros((1, OBS_DIM)))
+  p = params["params"]
+
+  encoder = ref_networks.NatureFuseEncoder(
+      in_channels=CH, state_input_dim=PROPRIO, visual_dim=128,
+      hidden_shapes=[64, 64])
+  pf = ref_policies.GaussianContPolicyImpalaEncoderProj(
+      encoder=encoder, state_input_shape=PROPRIO,
+      visual_input_shape=(CH, 64, 64), output_shape=ADIM,
+      append_hidden_shapes=[64, 64], base_type=ref_networks.MLPBase)
+  vf = ref_networks.ImpalaEncoderProjNet(
+      encoder=encoder, state_input_shape=PROPRIO,
+      visual_input_shape=(CH, 64, 64), output_shape=1,
+      append_hidden_shapes=[64, 64], base_type=ref_networks.MLPBase)
+  pe = p["encoder"]
+  _load_nature(encoder.visual_base, pe["NatureEncoder_0"])
+  _lin(encoder.visual_projector.projection[0],
+       pe["RLProjection_0"]["Dense_0"])
+  _lin(encoder.base.seq_fcs[0], pe["MLPBase_0"]["Dense_0"])
+  _lin(encoder.base.seq_fcs[2], pe["MLPBase_0"]["Dense_1"])
+  for i in range(3):
+    _lin(pf.seq_append_fcs[2 * i], p["pf_mlp"][f"Dense_{i}"])
+    _lin(vf.seq_append_fcs[2 * i], p["vf_mlp"][f"Dense_{i}"])
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+
+  obs = _rand_obs(jax.random.PRNGKey(5), (4, OBS_DIM))
+  mean_j, std_j, _ = module.apply(params, obs, method=module.pi)
+  v_j = module.apply(params, obs, method=module.v)
+  obs_t = torch.tensor(np.asarray(obs))
+  with torch.no_grad():
+    mean_t, std_t, _ = pf(obs_t)
+    v_t = vf(obs_t)
+  np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# update parity: real PPO.update_per_epoch vs repo PPOLearner
+# ---------------------------------------------------------------------------
+class _NullLogger:
+  def add_update_info(self, *a, **k):
+    pass
+
+  def add_epoch_info(self, *a, **k):
+    pass
+
+
+class _FakeEnv:
+  action_space = gymnasium.spaces.Box(low=-1.0, high=1.0, shape=(ADIM,))
+
+
+class _FakeCollector:
+  def __init__(self, epoch_frames):
+    self.epoch_frames = epoch_frames
+
+  @property
+  def funcs(self):
+    return {}
+
+
+def test_ppo_update_matches_real_reference():
+  """One epoch of the REAL torchrl PPO (GAE via the real buffer, real
+  minibatch iteration, dual Adam eps=1e-5, grad clip 0.5, critic-then-actor
+  on the shared encoder) vs the repo's jitted learner, from identical
+  weights and trajectories.  shuffle=False on both sides so the minibatch
+  order is defined by the code under test, not by RNG coupling."""
+  T, E = 4, 2
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, clip_para=0.2, entropy_coeff=0.005,
+                  discount=0.99, tau=0.95, batch_size=2 * E,
+                  epoch_frames=T * E, max_episode_frames=999,
+                  opt_epochs=2, num_epochs=100, shuffle=False)
+
+  module, params = _flax_loco()
+  pf, vf = _build_ref_loco_pair(params)
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  learner = PPOLearner(cfg, apply_pi, apply_v, params)
+  ts = learner.init_state(params)
+
+  ks = jax.random.split(jax.random.PRNGKey(11), 6)
+  obs = _rand_obs(ks[0], (T, E, OBS_DIM))
+  next_obs = _rand_obs(ks[1], (T, E, OBS_DIM))
+  acts = jax.random.normal(ks[2], (T, E, ADIM))
+  rewards = jax.random.normal(ks[3], (T, E, 1))
+  terminals = (jax.random.uniform(ks[4], (T, E, 1)) < 0.2)
+  time_limits = jnp.zeros((T, E, 1), bool).at[2, 1, 0].set(True)
+
+  flat_obs = obs.reshape(-1, OBS_DIM)
+  mean0, std0, _ = apply_pi(params, flat_obs)
+  logp0 = jnp.sum(
+      -0.5 * ((acts.reshape(-1, ADIM) - mean0) / std0) ** 2
+      - jnp.log(std0) - 0.5 * jnp.log(2 * jnp.pi), -1, keepdims=True)
+  values0 = apply_v(params, flat_obs)
+
+  traj = Transition(
+      obs=obs, acts=acts, log_probs=logp0.reshape(T, E, 1),
+      values=values0.reshape(T, E, 1), rewards=rewards,
+      terminals=terminals, time_limits=time_limits,
+      means=mean0.reshape(T, E, ADIM), stds=std0.reshape(T, E, ADIM))
+  # the reference bootstraps from vf(next_obs[-1]) * (1 - terminals[-1])
+  # (on_rl_algo.py:23-32); feed the repo learner the matching value
+  last_value = (apply_v(params, next_obs[-1])[:, 0]
+                * (1.0 - terminals[-1, :, 0].astype(jnp.float32)))
+
+  new_ts, _ = jax.jit(learner.update_per_epoch)(ts, traj, last_value,
+                                                jax.random.PRNGKey(0))
+
+  # ---- the real reference update ----
+  buf = OnPolicyReplayBuffer(env_nums=E, max_replay_buffer_size=T * E,
+                             time_limit_filter=True)
+  obs_n, next_n = np.asarray(obs), np.asarray(next_obs)
+  acts_n, rew_n = np.asarray(acts), np.asarray(rewards)
+  term_n = np.asarray(terminals)
+  tl_n = np.asarray(time_limits)
+  vals_n = np.asarray(values0.reshape(T, E, 1))
+  for t in range(T):
+    buf.add_sample({
+        "obs": obs_n[t], "next_obs": next_n[t], "acts": acts_n[t],
+        "values": vals_n[t], "rewards": rew_n[t],
+        "terminals": term_n[t], "time_limits": tl_n[t]})
+
+  agent = RefPPO(
+      pf=pf, vf=vf, clip_para=cfg.clip_para, opt_epochs=cfg.opt_epochs,
+      plr=cfg.plr, vlr=cfg.vlr, entropy_coeff=cfg.entropy_coeff,
+      tau=cfg.tau, gae=True, shuffle=False, env=_FakeEnv(),
+      replay_buffer=buf, collector=_FakeCollector(T * E),
+      logger=_NullLogger(), discount=cfg.discount,
+      batch_size=cfg.batch_size, num_epochs=cfg.num_epochs, device="cpu",
+      save_dir="/tmp/ref_golden")
+  agent.current_epoch = 0
+  agent.update_per_epoch()
+
+  # ---- compare updated parameters through the same transplant mapping ----
+  ref_pf_after, ref_vf_after = pf, vf
+  got = new_ts.params["params"]
+  pf_new, vf_new = _build_ref_loco_pair(new_ts.params)
+
+  # atol rationale: 4 Adam steps at lr=1e-3 move params by ~4e-3; XLA-CPU
+  # vs torch conv/matmul op-ordering noise feeds Adam's normalized update
+  # direction, observed worst-case ~6e-5 (1.5% of one step) on logstd.
+  def assert_close(a: torch.nn.Module, b: torch.nn.Module, what: str):
+    sa, sb = a.state_dict(), b.state_dict()
+    assert sa.keys() == sb.keys()
+    for k in sa:
+      np.testing.assert_allclose(
+          sb[k].numpy(), sa[k].numpy(), atol=2e-4,
+          err_msg=f"{what}:{k} diverged from the real reference update")
+
+  assert_close(ref_pf_after, pf_new, "pf")
+  assert_close(ref_vf_after, vf_new, "vf")
+  # sanity: the update actually moved the weights
+  base0 = np.asarray(params["params"]["pf_mlp"]["Dense_2"]["kernel"])
+  base1 = np.asarray(got["pf_mlp"]["Dense_2"]["kernel"])
+  assert np.abs(base1 - base0).max() > 1e-6
