@@ -378,14 +378,68 @@ def gen_hill(key: jax.Array) -> TerrainState:
                     hf_zoff=jnp.asarray(0.0))
 
 
+# --- the reference's real mount geometry ---------------------------------
+# The reference builds the mount from a shipped 512x512 grayscale PNG
+# (a1_randomizer_ground.py:1011-1024): heightmaps/wm_height_out.png at
+# meshScale [0.1, 0.1, 15*MOUNT_LEVEL], body origin [2, 2, 2*MOUNT_LEVEL],
+# mount_level pinned to 0 (:338) and MOUNT_LEVEL[0] = 1 (:310), goal sphere
+# at GOAL_POS['mounts'][0] = [4, 11.5, 3.5] (:26-31).  PyBullet semantics
+# reproduced: height = pixel * meshScale_z / 256, heightfield vertically
+# centered on (min+max)/2, grid spanning (N-1)*cell centered on the body
+# origin.  Orientation (image row = world y, no flip) was disambiguated by
+# the reference's own placement constraints: robot init [1,1,1.56] stands
+# 0.29 m above the decoded terrain (A1 stance height) and the goal sphere
+# rests on the decoded slope; the 3 other flip conventions put the start
+# 4 m underground or the goal floating.
+_MOUNT_PNG = "/root/reference/vision4leg/assets/heightmaps/wm_height_out.png"
+_MOUNT_CELL = 0.1
+_MOUNT_CROP_I0 = 185      # crop start index: world x=y= 2+(185-255.5)*0.1
+_MOUNT_N = 256            # 256 points -> x,y in [-5.05, 20.45] — covers the
+                          # init pose (1,1), both goal candidates (max
+                          # (4, 11.5)) and the camera horizon past them
+MOUNT_GOAL_POS = (4.0, 11.5, 3.5)
+_mount_grid_cache = None
+
+
+def _load_mount_grid():
+  """Decode the reference heightmap once; False when the asset or PIL is
+  unavailable (standalone checkouts fall back to the procedural mount)."""
+  global _mount_grid_cache
+  if _mount_grid_cache is None:
+    try:
+      from PIL import Image
+      a = np.asarray(Image.open(_MOUNT_PNG), dtype=np.float32)
+      scale = 15.0 / 256.0
+      z_center = (float(a.min()) + float(a.max())) * 0.5 * scale
+      # a[row, col] = a[y_idx, x_idx]; repo grids index [x_idx, y_idx]
+      full = a.T * scale - z_center + 2.0
+      i0 = _MOUNT_CROP_I0
+      _mount_grid_cache = np.ascontiguousarray(
+          full[i0:i0 + _MOUNT_N, i0:i0 + _MOUNT_N])
+    except Exception:
+      _mount_grid_cache = False
+  return _mount_grid_cache
+
+
 def gen_mount(key: jax.Array, goal: bool = True) -> TerrainState:
-  """One dominant peak to climb; goal sphere near the top
-  (GOAL_POS['mounts'][1] ~ [2.5, 8.0, 2.7])."""
+  """The reference's mount: real wm_height_out.png geometry when the asset
+  is available (fixed world, like the reference — resets do not re-roll
+  it), else a procedural single-peak stand-in with matching scale."""
+  grid_np = _load_mount_grid()
+  if grid_np is not False:
+    n = _MOUNT_N
+    origin = 2.0 + (_MOUNT_CROP_I0 - 255.5) * _MOUNT_CELL
+    ts = _empty(num_boxes=0, hf_n=n)
+    return ts.replace(
+        height=jnp.asarray(grid_np), hf_cell=jnp.asarray(_MOUNT_CELL),
+        hf_origin=jnp.asarray([origin, origin]),
+        hf_zoff=jnp.asarray(0.0),
+        goal_pos=jnp.asarray(MOUNT_GOAL_POS) if goal else jnp.zeros(3))
   n = 128
   cell = 0.2
   xs = (jnp.arange(n) - n / 2) * cell
   gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
-  peak = jnp.array([2.5, 8.0])
+  peak = jnp.array([4.0, 11.5])
   d2 = (gx - peak[0]) ** 2 + (gy - peak[1]) ** 2
   grid = 3.0 * jnp.exp(-d2 / (2 * 4.0**2))
   bumps = _gaussian_landscape(key, n, cell, num_bumps=20, height_scale=0.4,
@@ -396,7 +450,7 @@ def gen_mount(key: jax.Array, goal: bool = True) -> TerrainState:
       height=grid, hf_cell=jnp.asarray(cell),
       hf_origin=jnp.asarray([-n / 2 * cell, -n / 2 * cell]),
       hf_zoff=jnp.asarray(0.0),
-      goal_pos=jnp.asarray([2.5, 8.0, 2.7]) if goal else jnp.zeros(3))
+      goal_pos=jnp.asarray(MOUNT_GOAL_POS) if goal else jnp.zeros(3))
 
 
 
