@@ -572,41 +572,55 @@ def gen_spheres_with_subgoal(key: jax.Array) -> TerrainState:
   return ts.replace(obstacle_spheres=spheres, subgoals=subgoals)
 
 
+# chair_desk geometry, decoded from the reference assets (r3 chair_desk
+# diagnosis — the r2 approximation used 50 oversized chairs + 50
+# pass-under desk compounds independently sampled, i.e. a denser and
+# differently-shaped world than the reference, and the policy never
+# learned on it; eval max 70):
+#   * obstacles are URDF meshes placed with ornObj=[1, 0, 0, 1]
+#     (`_move_chair_desk_and_subgoal_pos` :1886-1906) — an UNNORMALIZED
+#     quaternion = 90 deg about x: the furniture is TIPPED OVER;
+#   * chair (model.obj bounds x globalScaling 8 x urdf scale .1):
+#     local half (0.183, 0.324, 0.147) -> world half (0.183, 0.147, 0.324)
+#     at z 0.34 — a solid block resting on the ground;
+#   * desk (globalScaling 17): local half (0.300, 0.289, 0.741) -> world
+#     half (0.300, 0.741, 0.289) at z 0.24 — a solid low slab, slightly
+#     embedded; NOT a pass-under table;
+#   * 50 chairs + 30 desks (`_generate_chair_desk` :1976-2006), one JOINT
+#     Poisson-disc sampling (min spacing 1.1 m, PoissonDisc2D(26, 6, 1.1)
+#     :1868) shifted to x in [2.5, 28.5], y in [-3, 3] — chairs take the
+#     first 50 centers, desks the next 30, so they never overlap;
+#   * two fence walls, half (30.05, 0.156, 0.5) at (15, +-3, z 0.5)
+#     (:2013-2058); no subgoals (self.subgoal excludes chair_desk, :365).
+_CHAIR_HALF = (0.183, 0.147, 0.324)
+_CHAIR_Z = 0.34
+_DESK_HALF = (0.300, 0.741, 0.289)
+_DESK_Z = 0.24
+_CD_FENCE_HALF = (30.0 + 0.05, 0.3 / (2 * math.sqrt(2)) + 0.05, 0.5)
+
+
 def gen_chair_desk(key: jax.Array) -> TerrainState:
-  """random_chair_desk (`_generate_chair_desk` :1931+): 50 chairs + 50
-  desks (URDF furniture, globalScaling=8) scattered in [2,-2]..[30,2].
-  Approximated with box compounds: chair = one 0.25x0.25x0.45-half box;
-  desk = an elevated top slab (0.5x0.35 half at z 0.55) on two side-leg
-  boxes, leaving a pass-under gap."""
-  kc, kd, ks = jax.random.split(key, 3)
-  nc = 50
-  chairs_xy = _jittered_corridor_points(kc, nc, (2.0, -2.0), (30.0, 2.0))
+  """random_chair_desk: 50 tipped-over chairs + 30 tipped-over desks in a
+  fenced corridor (geometry decoded from the reference assets, above)."""
+  nc, nd = 50, 30
+  centers = _jittered_corridor_points(key, nc + nd, (2.5, -3.0),
+                                      (28.5, 3.0))
+  chairs_xy, desks_xy = centers[:nc], centers[nc:]
   chairs = jnp.concatenate([
-      chairs_xy, jnp.full((nc, 1), 0.45),
-      jnp.full((nc, 2), 0.25), jnp.full((nc, 1), 0.45),
+      chairs_xy, jnp.full((nc, 1), _CHAIR_Z),
+      jnp.tile(jnp.asarray(_CHAIR_HALF), (nc, 1)),
       jnp.zeros((nc, 1)), jnp.ones((nc, 1))], axis=-1)
-  nd = 50
-  desks_xy = _jittered_corridor_points(kd, nd, (2.0, -2.0), (30.0, 2.0))
-  top = jnp.concatenate([
-      desks_xy, jnp.full((nd, 1), 0.55),
-      jnp.full((nd, 1), 0.5), jnp.full((nd, 1), 0.35),
-      jnp.full((nd, 1), 0.05),
+  desks = jnp.concatenate([
+      desks_xy, jnp.full((nd, 1), _DESK_Z),
+      jnp.tile(jnp.asarray(_DESK_HALF), (nd, 1)),
       jnp.zeros((nd, 1)), jnp.ones((nd, 1))], axis=-1)
-  legs = []
-  for side in (-1.0, 1.0):
-    leg_xy = desks_xy + jnp.array([side * 0.45, 0.0])
-    legs.append(jnp.concatenate([
-        leg_xy, jnp.full((nd, 1), 0.25),
-        jnp.full((nd, 2), 0.05), jnp.full((nd, 1), 0.25),
-        jnp.zeros((nd, 1)), jnp.ones((nd, 1))], axis=-1))
-  boxes = jnp.concatenate([chairs, top] + legs, axis=0)
-  subgoals = jax.random.uniform(
-      ks, (NUM_SUBGOALS, 2), minval=jnp.array([2.0, -2.2]),
-      maxval=jnp.array([30.0, 2.2]))
+  fences = jnp.asarray([
+      [15.0, y, _CD_FENCE_HALF[2], *_CD_FENCE_HALF, 0.0, 1.0]
+      for y in (3.0, -3.0)])
+  boxes = jnp.concatenate([chairs, desks, fences], axis=0)
   ts = _empty(num_boxes=0)
   return ts.replace(boxes=boxes,
-                    box_dirs=jnp.full((boxes.shape[0],), 16, jnp.int32),
-                    subgoals=subgoals)
+                    box_dirs=jnp.full((boxes.shape[0],), 16, jnp.int32))
 
 
 def moving_blocks_step(terrain: TerrainState, step_counter: jnp.ndarray,
