@@ -159,27 +159,67 @@ def main():
       print(f"HBM exhausted; retrying at {num_envs} envs", file=sys.stderr)
 
   n_epochs = int(os.environ.get("V4L_BENCH_EPOCHS", "3"))
-  t0 = time.time()
-  t_roll = 0.0
-  for i in range(n_epochs):
-    t1 = time.time()
-    cs, traj, last_value = agent._rollout_jit(ts.params, cs)
-    jax.block_until_ready(last_value)
-    t_roll += time.time() - t1
-    ts, m = agent._update_jit(ts, traj, last_value,
-                              jax.random.fold_in(key, i))
-  jax.block_until_ready(m)
-  dt = time.time() - t0
-  print(f"phase timing: rollout {t_roll/n_epochs:.2f}s/epoch, "
-        f"update {(dt - t_roll)/n_epochs:.2f}s/epoch", file=sys.stderr)
 
-  steps_per_sec = n_epochs * epoch_frames / dt
+  def measure():
+    nonlocal ts, cs
+    t0 = time.time()
+    t_roll = 0.0
+    m = None
+    for i in range(n_epochs):
+      t1 = time.time()
+      cs, traj, last_value = agent._rollout_jit(ts.params, cs)
+      jax.block_until_ready(last_value)
+      t_roll += time.time() - t1
+      ts, m = agent._update_jit(ts, traj, last_value,
+                                jax.random.fold_in(key, i))
+    jax.block_until_ready(m)
+    dt = time.time() - t0
+    print(f"phase timing: rollout {t_roll/n_epochs:.2f}s/epoch, "
+          f"update {(dt - t_roll)/n_epochs:.2f}s/epoch", file=sys.stderr)
+    return n_epochs * epoch_frames / dt
+
+  # --- contention detection (r2 postmortem: BENCH_r02 recorded 10.3k
+  # steps/s because a training job from runs/run_queue_r2k.sh still held
+  # the single chip when the driver ran this — 4.8x below the framework's
+  # demonstrated 49k).  Compare against the committed idle-chip reference
+  # (runs/bench_idle_reference.json); if >35% below it, another process is
+  # time-slicing the chip: retry after a pause, and if it never clears,
+  # emit a machine-readable "contended": true so the number is not read
+  # as a framework regression. ---
+  idle_ref = None
+  ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "runs", "bench_idle_reference.json")
+  try:
+    with open(ref_path) as f:
+      ref = json.load(f)
+    if int(ref.get("num_envs", 0)) == num_envs:
+      idle_ref = float(ref["steps_per_sec"])
+  except Exception:
+    pass
+  hbm_shared = num_envs < int(os.environ.get("V4L_BENCH_ENVS", "1024"))
+
+  contended = False
+  retries = int(os.environ.get("V4L_BENCH_RETRIES", "3"))
+  for attempt in range(retries + 1):
+    steps_per_sec = measure()
+    if idle_ref is None or steps_per_sec >= 0.65 * idle_ref:
+      break
+    contended = True
+    if attempt < retries:
+      print(f"bench: {steps_per_sec:.0f} steps/s is <65% of the idle-chip "
+            f"reference {idle_ref:.0f} — chip likely contended; retrying "
+            f"in 120s ({attempt + 1}/{retries})", file=sys.stderr)
+      time.sleep(120)
+      contended = False
+  contended = contended or hbm_shared
   print(json.dumps({
       "metric": "locotransformer_ppo_env_steps_per_sec",
       "value": round(steps_per_sec, 1),
       "unit": "env-steps/s (collect+update, thin-goal)",
       "bf16_collection": use_bf16,
       "fused_attention": agent.fused_attention,
+      "contended": contended,
+      "idle_reference": idle_ref,
       "num_envs": num_envs,
       "vs_baseline": round(
           steps_per_sec / REFERENCE_MEASURED_STEPS_PER_SEC, 2),
