@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vision4leg_tpu.algo.a2c import A2CConfig, A2CLearner
 from vision4leg_tpu.algo.off_policy.learners import (DQNLearner,
@@ -515,3 +516,42 @@ def test_warm_start_from_snapshot(tmp_path):
                     logger=_NullLogger(), save_dir=str(tmp_path / "empty"),
                     obs_norm=True)
   assert agent3.restore_checkpoint() == 0
+
+
+def test_degenerate_horizon_warning(tmp_path):
+  """T = epoch_frames/num_envs < 64 must warn loudly (PARITY.md horizon
+  ablation: T=16 oscillates +255 -> -548; T>=64 is the stable regime),
+  and T >= 64 must stay silent."""
+  import warnings as _warnings
+  from vision4leg_tpu.algo.agent import PPOAgent
+  from vision4leg_tpu.algo.ppo import PPOConfig
+  from vision4leg_tpu.envs.env import A1GymEnv, EnvConfig
+  from vision4leg_tpu.models.actor_critic import StateActorCritic
+
+  env = A1GymEnv(EnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.05, 0.5, 0.5) * 4,
+      time_step_s=0.0025, num_action_repeat=4, add_last_action_input=True,
+      no_displacement=True, diagonal_act=True, alive_reward=-0.05,
+      terrain_type="plane", settle_steps=20))
+  module = StateActorCritic(action_dim=6, hidden_shapes=(32,),
+                            append_hidden_shapes=(32,))
+
+  class _NullLogger:
+    work_dir = str(tmp_path)
+    def add_epoch_info(self, *a, **k): pass
+    def log(self, *a, **k): pass
+
+  def build(epoch_frames, num_envs):
+    cfg = PPOConfig(plr=1e-4, vlr=1e-4, opt_epochs=1, batch_size=8,
+                    epoch_frames=epoch_frames, max_episode_frames=8,
+                    num_epochs=1)
+    return PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=num_envs,
+                    seed=0, logger=_NullLogger(), save_dir=str(tmp_path),
+                    obs_norm=True)
+
+  with pytest.warns(UserWarning, match="GAE horizon"):
+    build(epoch_frames=64, num_envs=4)          # T = 16
+
+  with _warnings.catch_warnings():
+    _warnings.simplefilter("error")
+    build(epoch_frames=256, num_envs=4)         # T = 64: silent

@@ -12,6 +12,7 @@ import inspect
 import os
 import os.path as osp
 import time
+import warnings
 from typing import Any, Optional
 
 import jax
@@ -167,6 +168,19 @@ class PPOAgent:
 
     horizon = cfg.epoch_frames // num_envs
     self.horizon = horizon
+    if horizon < 64:
+      # PARITY.md horizon ablation: GAE(tau=0.95) truncated below T=64
+      # routes nearly all credit through V-bootstraps; transient V-fit
+      # error then poisons every advantage.  thin_goal at T=16 swings
+      # +255 -> -548 in adjacent evals where T=64 holds a stable policy
+      # (worst late eval -10.6).  The reference's own regime is 16 envs
+      # x T~1000.
+      warnings.warn(
+          f"derived GAE horizon T = epoch_frames/num_envs = "
+          f"{cfg.epoch_frames}/{num_envs} = {horizon} < 64: policy-level "
+          f"oscillation is expected (see PARITY.md horizon ablation). "
+          f"Use --num_envs <= {cfg.epoch_frames // 64} for T >= 64.",
+          stacklevel=2)
     # CurriculumWrapperEnv (curriculum_wrapper_env.py:27-92): episode
     # length ramped 1000 -> 2000 by a cubic schedule; the builder passes
     # num_parallel_envs=8 (env_builder.py:350-354) so the effective ramp
