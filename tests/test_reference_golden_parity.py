@@ -305,17 +305,23 @@ class _FakeCollector:
     return {}
 
 
-def test_ppo_update_matches_real_reference():
+@pytest.mark.parametrize("clipped_vf", [False, True],
+                         ids=["mse_vf", "clipped_vf"])
+def test_ppo_update_matches_real_reference(clipped_vf):
   """One epoch of the REAL torchrl PPO (GAE via the real buffer, real
   minibatch iteration, dual Adam eps=1e-5, grad clip 0.5, critic-then-actor
   on the shared encoder) vs the repo's jitted learner, from identical
   weights and trajectories.  shuffle=False on both sides so the minibatch
-  order is defined by the code under test, not by RNG coupling."""
+  order is defined by the code under test, not by RNG coupling.  Runs both
+  value-loss forms: plain MSE and the reference's clipped form
+  (ppo.py:105-113), the config-reachable lever for late-training V-fit
+  swings (PARITY.md horizon ablation)."""
   T, E = 4, 2
   cfg = PPOConfig(plr=1e-3, vlr=1e-3, clip_para=0.2, entropy_coeff=0.005,
                   discount=0.99, tau=0.95, batch_size=2 * E,
                   epoch_frames=T * E, max_episode_frames=999,
-                  opt_epochs=2, num_epochs=100, shuffle=False)
+                  opt_epochs=2, num_epochs=100, shuffle=False,
+                  clipped_value_loss=clipped_vf)
 
   module, params = _flax_loco()
   pf, vf = _build_ref_loco_pair(params)
@@ -375,6 +381,7 @@ def test_ppo_update_matches_real_reference():
       pf=pf, vf=vf, clip_para=cfg.clip_para, opt_epochs=cfg.opt_epochs,
       plr=cfg.plr, vlr=cfg.vlr, entropy_coeff=cfg.entropy_coeff,
       tau=cfg.tau, gae=True, shuffle=False, env=_FakeEnv(),
+      clipped_value_loss=clipped_vf,
       replay_buffer=buf, collector=_FakeCollector(T * E),
       logger=_NullLogger(), discount=cfg.discount,
       batch_size=cfg.batch_size, num_epochs=cfg.num_epochs, device="cpu",
