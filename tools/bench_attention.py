@@ -79,6 +79,39 @@ def main():
                                   1)
   print(f"full pi_v @1024: {results['pi_v_1024_us']:.0f} us")
 
+  # --- update-path ceiling (VERDICT r2 #9): would a fused-attention VJP
+  # help the PPO update?  A custom_vjp whose backward recomputes the XLA
+  # forward ADDS work (the pallas fwd saves ~12 us/layer while the remat
+  # costs a ~40 us XLA fwd), so the only honest win needs a Pallas
+  # backward kernel — bounded above by the layer's total share of the
+  # update.  Measure fwd and fwd+bwd of the flax layer at the update's
+  # minibatch shape (thin-goal: batch_size=1024, opt_epochs=3, 16384
+  # frames -> 48 policy + 48 value minibatch grads, 2 layers each
+  # branch) and report the per-PPO-epoch attention-grad cost. ---
+  D, F, T, B = 64, 256, 17, 1024
+  layer = TransformerEncoderLayer(d_model=D, n_head=1, dim_feedforward=F)
+  x = jax.random.normal(key, (B, T, D), jnp.float32) * 0.5
+  params = layer.init(key, x)
+
+  fwd_t = _time(jax.jit(lambda p, x: layer.apply(p, x)), params, x)
+
+  def loss(p, x):
+    return jnp.sum(layer.apply(p, x))
+
+  grad_t = _time(jax.jit(jax.grad(loss, argnums=(0, 1))), params, x)
+  minibatch_grads = 2 * 3 * (16384 // 1024)   # policy + value passes
+  layers_per_pass = 2
+  per_epoch_ms = grad_t * minibatch_grads * layers_per_pass * 1e3
+  results["update_path"] = {
+      "flax_fwd_us": round(fwd_t * 1e6, 1),
+      "flax_fwd_bwd_us": round(grad_t * 1e6, 1),
+      "attention_grad_cost_per_ppo_epoch_ms": round(per_epoch_ms, 2),
+      "note": "ceiling for any fused-VJP win; compare against bench.py's "
+              "update s/epoch phase timing",
+  }
+  print(f"update path: fwd {fwd_t*1e6:.0f} us, fwd+bwd {grad_t*1e6:.0f} us"
+        f" -> {per_epoch_ms:.1f} ms attention-grad per PPO epoch")
+
   with open(OUT, "w") as f:
     json.dump(results, f, indent=2)
   print(json.dumps(results))
