@@ -54,6 +54,36 @@ def test_joint_sampling_inside_corridor():
   assert d.min() > 0.05
 
 
+def test_poisson_disc_min_spacing():
+  """The reference's PoissonDisc2D(26, 6, 1.1) guarantees every pair of
+  furniture centers is >= 1.1 m apart (a1_randomizer_ground.py:1868) —
+  walkable gaps exist by construction.  Pin that guarantee across seeds."""
+  for seed in range(6):
+    ts = terr.gen_chair_desk(jax.random.PRNGKey(seed))
+    xy = np.asarray(ts.boxes)[:80, :2]
+    d = np.linalg.norm(xy[:, None] - xy[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() >= 1.1 - 1e-5, f"seed {seed}: min spacing {d.min():.3f}"
+
+
+def test_sparse_blocks_min_spacing():
+  """Sparse-pillar family: reference per-reset placement is
+  PoissonDisc2D(26, 6, 1.0) (`_move_block_pos` :521)."""
+  for gen in (lambda k: terr.gen_blocks_sparse(k),
+              terr.gen_thin_wide):
+    ts = gen(jax.random.PRNGKey(3))
+    boxes = np.asarray(ts.boxes)
+    # select the Poisson-placed pillars: square blocks with the sparse
+    # half-extents (excludes fences and thin_wide's fixed wide walls)
+    n = terr.NUM_SPARSE_BLOCKS
+    sq = np.isclose(boxes[:, 3], terr.SPARSE_HALF_LEN)
+    xy = boxes[sq][:n, :2]
+    assert xy.shape[0] == n
+    d = np.linalg.norm(xy[:, None] - xy[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() >= 1.0 - 1e-5, f"min spacing {d.min():.3f}"
+
+
 def test_fences_bound_the_corridor():
   boxes, _ = _boxes()
   fences = boxes[80:]

@@ -227,13 +227,56 @@ def _jittered_corridor_points(key, n, lo, hi):
   return pts[perm]
 
 
+def _min_dist_points(key, n, lo, hi, r, m):
+  """n points in [lo, hi] with pairwise distance >= r, jittably.
+
+  The reference spaces its corridor obstacles with Bridson Poisson-disc
+  sampling (PoissonDisc2D, a1_randomizer_ground.py:69-242): every pair of
+  obstacle centers is at least `min_radius` apart, which GUARANTEES
+  walkable gaps between the boxes (used with r=1.0 for the sparse-block
+  family via `_move_block_pos` :521 and r=1.1 for chair_desk :1868).
+  Stratified jitter alone does not — adjacent samples can land arbitrarily
+  close and fuse obstacles into impassable walls (measured: global min
+  pairwise distance 0.08-0.25 m, ~20 % of obstacles with a neighbour
+  closer than 0.6 m), which is what stalled chair_desk learning in r2/r3a.
+
+  Bridson's dart-throwing is data-dependent, so here the same guarantee
+  comes from fixed-shape random sequential adsorption: scan m uniform
+  candidates in order, accepting each iff it is >= r from every previously
+  accepted point.  m is sized so >= n acceptances are (empirically)
+  certain — e.g. at r=1.1 over 26x6 m the RSA saturation is ~90 points and
+  m=2048 accepts >= 87 across seeds.  Accepted points inherit the
+  candidates' random order (the reference shuffles its Bridson output the
+  same way).  Any unfilled tail falls back to stratified-jitter points.
+  """
+  k1, k2 = jax.random.split(key)
+  lo_a = jnp.asarray(lo, jnp.float32)
+  hi_a = jnp.asarray(hi, jnp.float32)
+  cand = jax.random.uniform(k1, (m, 2), minval=lo_a, maxval=hi_a)
+  sentinel = hi_a + 1e6  # farther than r from any candidate
+
+  def body(carry, p):
+    pts, cnt = carry
+    ok = jnp.all(jnp.sum((pts - p) ** 2, axis=-1) >= r * r) & (cnt < n)
+    upd = jax.lax.dynamic_update_slice(pts, p[None], (cnt, 0))
+    return (jnp.where(ok, upd, pts), cnt + ok.astype(jnp.int32)), None
+
+  init = (jnp.zeros((n, 2)) + sentinel, jnp.asarray(0, jnp.int32))
+  (pts, cnt), _ = jax.lax.scan(body, init, cand, unroll=8)
+  fallback = _jittered_corridor_points(k2, n, lo, hi)
+  filled = (jnp.arange(n) < cnt)[:, None]
+  return jnp.where(filled, pts, fallback)
+
+
 def gen_blocks_sparse(key: jax.Array, random_shape: bool = False,
                       subgoal: bool = False, thin_wide: bool = False,
                       heightfield: bool = False) -> TerrainState:
   """random_blocks_sparse family: 50 pillars in a fenced corridor."""
   kb, ks, kh, kshape = jax.random.split(key, 4)
   n = NUM_SPARSE_BLOCKS
-  centers = _jittered_corridor_points(kb, n, (2.5, -3.0), (28.5, 3.0))
+  # reference per-reset placement: PoissonDisc2D(26, 6, 1.0)
+  # (`_move_block_pos` a1_randomizer_ground.py:521)
+  centers = _min_dist_points(kb, n, (2.5, -3.0), (28.5, 3.0), r=1.0, m=512)
   half = jnp.tile(jnp.array([SPARSE_HALF_LEN, SPARSE_HALF_LEN,
                              SPARSE_HALF_HEIGHT]), (n, 1))
   cz = jnp.full((n,), SPARSE_HALF_HEIGHT)
@@ -528,7 +571,9 @@ def gen_thin_wide(key: jax.Array) -> TerrainState:
                                      0.85))
   wide = wide.at[:, 5].set(0.5)
   n = NUM_SPARSE_BLOCKS
-  centers = _jittered_corridor_points(kb, n, (2.5, -3.0), (28.5, 3.0))
+  # thin pillars share the sparse family's per-reset Poisson placement
+  # (`_move_block_pos` a1_randomizer_ground.py:521, r=1.0)
+  centers = _min_dist_points(kb, n, (2.5, -3.0), (28.5, 3.0), r=1.0, m=512)
   thin = jnp.concatenate([
       centers, jnp.full((n, 1), SPARSE_HALF_HEIGHT),
       jnp.full((n, 2), SPARSE_HALF_LEN),
@@ -603,8 +648,10 @@ def gen_chair_desk(key: jax.Array) -> TerrainState:
   """random_chair_desk: 50 tipped-over chairs + 30 tipped-over desks in a
   fenced corridor (geometry decoded from the reference assets, above)."""
   nc, nd = 50, 30
-  centers = _jittered_corridor_points(key, nc + nd, (2.5, -3.0),
-                                      (28.5, 3.0))
+  # reference per-reset placement: PoissonDisc2D(26, 6, 1.1)
+  # (`_move_chair_desk_and_subgoal_pos` a1_randomizer_ground.py:1868)
+  centers = _min_dist_points(key, nc + nd, (2.5, -3.0), (28.5, 3.0),
+                             r=1.1, m=2048)
   chairs_xy, desks_xy = centers[:nc], centers[nc:]
   chairs = jnp.concatenate([
       chairs_xy, jnp.full((nc, 1), _CHAIR_Z),
