@@ -35,8 +35,13 @@ if not os.path.isdir(os.path.join(REF, "torchrl")):
 import gymnasium  # noqa: E402
 
 sys.modules.setdefault("gym", gymnasium)
+# APPEND (never insert at 0): the reference tree also has a `starter/`
+# package, and putting REF ahead of the repo root made any later test in
+# the same process import the REFERENCE's starter scripts instead of the
+# repo's (test_configs broke this way).  `torchrl`/`vision4leg` exist only
+# in the reference, so end-of-path resolution is sufficient for them.
 if REF not in sys.path:
-  sys.path.insert(0, REF)
+  sys.path.append(REF)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
