@@ -112,6 +112,35 @@ def main():
   print(f"update path: fwd {fwd_t*1e6:.0f} us, fwd+bwd {grad_t*1e6:.0f} us"
         f" -> {per_epoch_ms:.1f} ms attention-grad per PPO epoch")
 
+  # --- the fused Pallas backward (ops/attention.py custom_vjp): time
+  # fwd+bwd at the same update-minibatch shape and check gradient parity
+  # against the flax autodiff on this backend. ---
+  w = pat.weights_from_flax(params["params"], D)
+  gcot = jax.random.normal(jax.random.fold_in(key, 9), (B, T, D))
+
+  def loss_ad(p, xx):
+    ww = pat.weights_from_flax(p["params"], D)
+    return jnp.sum(pat.fused_transformer_layer_ad(xx, ww) * gcot)
+
+  def loss_flax(p, xx):
+    return jnp.sum(layer.apply(p, xx) * gcot)
+
+  grad_ad = jax.jit(jax.grad(loss_ad, argnums=(0, 1)))
+  grad_fl = jax.jit(jax.grad(loss_flax, argnums=(0, 1)))
+  ga = grad_ad(params, x)
+  gf = grad_fl(params, x)
+  import numpy as _np
+  err = max(float(_np.max(_np.abs(_np.asarray(a) - _np.asarray(b))))
+            for a, b in zip(jax.tree_util.tree_leaves(ga),
+                            jax.tree_util.tree_leaves(gf)))
+  pallas_grad_t = _time(grad_ad, params, x)
+  results["update_path"]["pallas_fwd_bwd_us"] = round(pallas_grad_t * 1e6, 1)
+  results["update_path"]["pallas_vs_flax_bwd_speedup"] = round(
+      grad_t / pallas_grad_t, 2)
+  results["update_path"]["grad_parity_max_abs_err"] = err
+  print(f"pallas custom_vjp fwd+bwd {pallas_grad_t*1e6:.0f} us "
+        f"(x{grad_t/pallas_grad_t:.2f} vs flax), grad parity {err:.2e}")
+
   with open(OUT, "w") as f:
     json.dump(results, f, indent=2)
   print(json.dumps(results))

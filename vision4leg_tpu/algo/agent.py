@@ -137,20 +137,30 @@ class PPOAgent:
     dummy_obs = jnp.zeros((1, env.obs_dim))
     params = ac_module.init(k_init, dummy_obs)
 
-    def apply_pi(p, x):
-      return ac_module.apply(p, x, method=ac_module.pi)
-
-    def apply_v(p, x):
-      return ac_module.apply(p, x, method=ac_module.v)
-
     # Fused Pallas attention for the no-gradient collection forward:
     # measured 1.45x vs the flax layer at rollout shapes (v5e,
-    # runs/attention_bench.json); default on for TPU backends.  Only
-    # pi_v (rollout inference) opts in — the learner's apply_pi/apply_v
-    # closures below stay unfused because the kernel has no VJP.
+    # runs/attention_bench.json); default on for TPU backends.  pi_v
+    # (rollout inference) opts in; the learner's apply_pi/apply_v
+    # closures additionally opt in under V4L_FUSED_UPDATE=1 now that the
+    # layer is differentiable (custom_vjp with a fused Pallas backward,
+    # ops/attention.py) — off by default pending an idle-chip update-
+    # path measurement (tools/bench_attention.py "update_path").
     if fused_attention is None:
       fused_attention = jax.default_backend() in ("tpu", "axon")
     self.fused_attention = fused_attention
+    fused_update = (fused_attention and
+                    os.environ.get("V4L_FUSED_UPDATE", "") not in ("", "0")
+                    and "fused" in inspect.signature(ac_module.pi).parameters)
+
+    def apply_pi(p, x):
+      if fused_update:
+        return ac_module.apply(p, x, fused=True, method=ac_module.pi)
+      return ac_module.apply(p, x, method=ac_module.pi)
+
+    def apply_v(p, x):
+      if fused_update:
+        return ac_module.apply(p, x, fused=True, method=ac_module.v)
+      return ac_module.apply(p, x, method=ac_module.v)
 
     apply_pi_v = None
     if hasattr(ac_module, "pi_v"):

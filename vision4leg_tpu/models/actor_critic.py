@@ -136,23 +136,24 @@ class LocoTransformerActorCritic(nn.Module):
       outs.append(pool(tokens[:, 1 + per_modal: 1 + 2 * per_modal]))
     return jnp.concatenate(outs, axis=-1)
 
-  def pi(self, x):
+  def pi(self, x, fused: bool = False):
     t = self._tokens(x)
     for layer in self.pf_layers:
-      t = layer(t)
+      t = layer(t, fused=fused)
     return self.head(self.pf_mlp(self._pool(t)))
 
-  def v(self, x):
+  def v(self, x, fused: bool = False):
     t = self._tokens(x)
     for layer in self.vf_layers:
-      t = layer(t)
+      t = layer(t, fused=fused)
     return self.vf_mlp(self._pool(t))
 
   def pi_v(self, x, fused: bool = False):
     """Tokenize once, run both transformer stacks (the conv
     tokenizer dominates; pi/v separately would run it twice).
-    `fused=True` uses the Pallas fused layer — inference only (no VJP);
-    the rollout opts in, the PPO update path never passes it."""
+    `fused=True` uses the Pallas fused layer (differentiable: custom_vjp
+    with a fused Pallas backward) — the rollout opts in by default on
+    TPU; the PPO update opts in via V4L_FUSED_UPDATE=1."""
     t0 = self._tokens(x)
     t = t0
     for layer in self.pf_layers:
@@ -212,16 +213,17 @@ class VisionOnlyTransformerActorCritic(nn.Module):
     # (nets.py Transformer.forward pools out[1:])
     return mlp(pool(t[:, 1:]))
 
-  def pi(self, x):
+  def pi(self, x, fused: bool = False):
     return self.head(self._stack(self._tokens(x), self.pf_layers,
-                                 self.pf_mlp))
+                                 self.pf_mlp, fused))
 
-  def v(self, x):
-    return self._stack(self._tokens(x), self.vf_layers, self.vf_mlp)
+  def v(self, x, fused: bool = False):
+    return self._stack(self._tokens(x), self.vf_layers, self.vf_mlp, fused)
 
   def pi_v(self, x, fused: bool = False):
     """Tokenize once, run both stacks (same contract as
-    LocoTransformerActorCritic.pi_v; fused = Pallas layer, no VJP)."""
+    LocoTransformerActorCritic.pi_v; fused = differentiable Pallas
+    layer)."""
     t = self._tokens(x)
     return (self.head(self._stack(t, self.pf_layers, self.pf_mlp, fused)),
             self._stack(t, self.vf_layers, self.vf_mlp, fused))

@@ -161,10 +161,11 @@ class TransformerEncoderLayer(nn.Module):
   `fused=True` routes the forward through the Pallas fused layer
   (ops/attention.py) using this layer's own bound params — measured 1.45x
   vs the flax path at rollout shapes (B=1024, T=17, D=64, v5e,
-  runs/attention_bench.json).  Single-head, forward-only (no VJP): the
-  rollout/inference path opts in; the PPO update path must stay unfused.
-  Off-TPU or at non-tile-aligned batch sizes the kernel transparently
-  falls back to identical XLA math."""
+  runs/attention_bench.json).  Single-head.  Differentiable: the route
+  goes through `fused_transformer_layer_ad` (custom_vjp with a fused
+  Pallas backward kernel), so both the rollout forward and the PPO
+  update may opt in.  Off-TPU or at non-tile-aligned batch sizes the
+  kernel transparently falls back to identical XLA math."""
   d_model: int
   n_head: int
   dim_feedforward: int
@@ -180,7 +181,7 @@ class TransformerEncoderLayer(nn.Module):
       from vision4leg_tpu.ops import attention as pallas_attn
       w = pallas_attn.weights_from_flax(self.variables["params"],
                                         self.d_model)
-      return pallas_attn.fused_transformer_layer(x, w)
+      return pallas_attn.fused_transformer_layer_ad(x, w)
     attn = nn.MultiHeadDotProductAttention(
         num_heads=self.n_head, qkv_features=self.d_model,
         out_features=self.d_model)(x, x)
