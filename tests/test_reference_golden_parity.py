@@ -286,6 +286,67 @@ def test_naturefuse_forward_matches_reference():
   np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
 
 
+@pytest.mark.parametrize("channels", [4, 16], ids=["depth", "rgbd"])
+def test_vision_only_transformer_forward_matches_reference(channels):
+  """ppo_locotransformer_vision_only wiring: the reference's vision-only
+  TransformerEncoder (base.py:388-496, NO proprio token) +
+  Transformer/GaussianContPolicyTransformer (nets.py:784-908,
+  continuous_policy.py:461), including the reference's exact pooling
+  slices: out[0:1+per_modal] for the first pool (which on the RGBD
+  32-token stream overlaps one rgb token) and out[per_modal:2*per_modal]
+  for the second, with depth-then-rgb token order (base.py:488-493)."""
+  from vision4leg_tpu.models.actor_critic import (
+      VisionOnlyTransformerActorCritic)
+
+  obs_dim = channels * 64 * 64
+  module = VisionOnlyTransformerActorCritic(
+      action_dim=ADIM, state_input_shape=0,
+      visual_input_shape=(channels, 64, 64),
+      transformer_params=((1, 256), (1, 256)),
+      append_hidden_shapes=(256, 256))
+  params = module.init(jax.random.PRNGKey(6), jnp.zeros((1, obs_dim)))
+  p = params["params"]
+
+  encoder = ref_networks.TransformerEncoder(in_channels=channels,
+                                            token_dim=64)
+  pf = ref_policies.GaussianContPolicyTransformer(
+      encoder=encoder, visual_input_shape=(channels, 64, 64),
+      output_shape=ADIM, transformer_params=[[1, 256], [1, 256]],
+      append_hidden_shapes=[256, 256])
+  vf = ref_networks.Transformer(
+      encoder=encoder, visual_input_shape=(channels, 64, 64),
+      output_shape=1, transformer_params=[[1, 256], [1, 256]],
+      append_hidden_shapes=[256, 256])
+
+  pe = p["encoder"]
+  if channels == 4:
+    _load_nature(encoder.depth_visual_base, pe["NatureEncoder_0"])
+    _conv(encoder.depth_up_conv, pe["Conv_0"])
+  else:
+    # flax creation order is rgb-first (matching the reference ctor,
+    # base.py:402-418); the OUTPUT token order is depth,rgb
+    _load_nature(encoder.rgb_visual_base, pe["NatureEncoder_0"])
+    _conv(encoder.rgb_up_conv, pe["Conv_0"])
+    _load_nature(encoder.depth_visual_base, pe["NatureEncoder_1"])
+    _conv(encoder.depth_up_conv, pe["Conv_1"])
+  _load_loco_net(pf, p, "pf_layers", "pf_mlp")
+  _load_loco_net(vf, p, "vf_layers", "vf_mlp")
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+  pf.eval(), vf.eval()
+
+  obs = _rand_obs(jax.random.PRNGKey(7), (3, obs_dim))
+  mean_j, std_j, _ = module.apply(params, obs, method=module.pi)
+  v_j = module.apply(params, obs, method=module.v)
+  obs_t = torch.tensor(np.asarray(obs))
+  with torch.no_grad():
+    mean_t, std_t, _ = pf(obs_t)
+    v_t = vf(obs_t)
+  np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # update parity: real PPO.update_per_epoch vs repo PPOLearner
 # ---------------------------------------------------------------------------

@@ -23,7 +23,8 @@ import numpy as np
 from vision4leg_tpu.models import init as winit
 from vision4leg_tpu.models.base import (LocoTransformerEncoder, MLPBase,
                                         NatureFuseEncoder,
-                                        TransformerEncoderLayer)
+                                        TransformerEncoderLayer,
+                                        VisionTokenEncoder)
 
 LOG_SIG_MAX = 2.0
 LOG_SIG_MIN = -5.0
@@ -171,12 +172,21 @@ class LocoTransformerActorCritic(nn.Module):
 class VisionOnlyTransformerActorCritic(nn.Module):
   """ppo_locotransformer_vision_only: TransformerEncoder over image tokens
   only (torchrl/networks/base.py:388 TransformerEncoder +
-  nets.py:784 Transformer + GaussianContPolicyTransformer); the proprio
-  part of the observation is ignored by both heads."""
+  nets.py:784 Transformer + GaussianContPolicyTransformer).  The proprio
+  part of the observation is ignored COMPLETELY: the reference's
+  vision-only encoder emits no proprio token at all (base.py:388-496), so
+  attention runs over the 16 (or 32 for RGBD) visual tokens only.
+  Pooling reproduces the reference exactly (nets.py:884-901): out_first
+  pools out[0 : 1+per_modal_tokens] — on a single-modality 16-token
+  stream the slice clamps to all 16; on the RGBD 32-token stream it spans
+  all 16 depth tokens PLUS the first rgb token (the reference's own
+  off-by-one, reproduced deliberately) — and out_second pools
+  out[per_modal : 2*per_modal]."""
   action_dim: int
   state_input_shape: int
   visual_input_shape: Tuple[int, int, int]
-  encoder_hidden_shapes: Sequence[int] = (256, 256)
+  encoder_hidden_shapes: Sequence[int] = (256, 256)  # accepted for config
+  # parity; the vision-only encoder has no proprio MLP to size with it
   transformer_params: Sequence[tuple] = ((1, 256), (1, 256))
   append_hidden_shapes: Sequence[int] = (256, 256)
   token_dim: int = 64
@@ -184,9 +194,8 @@ class VisionOnlyTransformerActorCritic(nn.Module):
   log_init: float = 0.125
 
   def setup(self):
-    self.encoder = LocoTransformerEncoder(
+    self.encoder = VisionTokenEncoder(
         in_channels=self.visual_input_shape[0],
-        hidden_shapes=self.encoder_hidden_shapes,
         token_dim=self.token_dim)
     self.head = _GaussianHead(self.action_dim, self.log_init)
     self.pf_layers = [
@@ -199,19 +208,21 @@ class VisionOnlyTransformerActorCritic(nn.Module):
     self.vf_mlp = MLPHead(self.append_hidden_shapes, 1)
 
   def _tokens(self, x):
-    state_x = x[..., : self.state_input_shape]
     visual_x = x[..., self.state_input_shape:].reshape(
         x.shape[:-1] + tuple(self.visual_input_shape))
-    return self.encoder(visual_x, state_x)
+    return self.encoder(visual_x)
 
   def _stack(self, t, layers, mlp, fused=False):
     for layer in layers:
       t = layer(t, fused=fused)
     pool = ((lambda z: jnp.max(z, axis=1)) if self.max_pool
             else (lambda z: jnp.mean(z, axis=1)))
-    # vision-only: pool over the visual tokens, drop the state token
-    # (nets.py Transformer.forward pools out[1:])
-    return mlp(pool(t[:, 1:]))
+    pm = self.encoder.per_modal_tokens
+    # nets.py:884-901 — see class docstring for the slice semantics
+    outs = [pool(t[:, : 1 + pm])]
+    if self.visual_input_shape[0] == 16:
+      outs.append(pool(t[:, pm: 2 * pm]))
+    return mlp(jnp.concatenate(outs, axis=-1))
 
   def pi(self, x, fused: bool = False):
     return self.head(self._stack(self._tokens(x), self.pf_layers,

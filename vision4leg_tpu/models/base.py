@@ -153,6 +153,52 @@ class LocoTransformerEncoder(nn.Module):
     return jnp.concatenate(tokens, axis=1)
 
 
+class VisionTokenEncoder(nn.Module):
+  """Vision-only tokenizer (reference TransformerEncoder, base.py:388-496):
+  per-modality NatureEncoder -> 1x1 (or 2x2 stride-2) conv to token_dim ->
+  16 (or 4) spatial tokens per modality.  Unlike LocoTransformerEncoder
+  there is NO proprio token — the reference's vision-only nets ignore
+  proprio entirely (Transformer.forward reshapes the whole observation as
+  the image, nets.py:870-873).  Token order for in_channels=16 is
+  depth-then-rgb (base.py:488-493) — the OPPOSITE of
+  LocoTransformerEncoder's state,rgb,depth ordering."""
+  in_channels: int
+  token_dim: int = 64
+  two_by_two: bool = False
+
+  @property
+  def per_modal_tokens(self) -> int:
+    return 4 if self.two_by_two else 16
+
+  @nn.compact
+  def __call__(self, visual_x):
+    def modality(img):
+      h = NatureEncoder(flatten=False)(img)          # (B, 4, 4, 64)
+      if self.two_by_two:
+        h = nn.Conv(self.token_dim, (2, 2), strides=(2, 2), padding="VALID",
+                    kernel_init=winit.orthogonal(),
+                    bias_init=nn.initializers.zeros)(h)
+      else:
+        h = nn.Conv(self.token_dim, (1, 1), padding="VALID",
+                    kernel_init=winit.orthogonal(),
+                    bias_init=nn.initializers.zeros)(h)
+      h = jnp.transpose(h, (0, 3, 1, 2))
+      return jnp.transpose(h.reshape(h.shape[0], h.shape[1], -1), (0, 2, 1))
+
+    # submodule creation order matches the reference ctor (rgb base first,
+    # base.py:402-418) so param names transplant cleanly; the OUTPUT order
+    # for 16 channels is depth,rgb (base.py:488-493)
+    rgb = (modality(visual_x[:, :12])
+           if self.in_channels in (12, 16) else None)
+    if self.in_channels == 12:
+      return rgb
+    depth_x = visual_x[:, 12:] if self.in_channels == 16 else visual_x[:, :4]
+    depth = modality(depth_x)
+    if self.in_channels == 4:
+      return depth
+    return jnp.concatenate([depth, rgb], axis=1)
+
+
 class TransformerEncoderLayer(nn.Module):
   """PyTorch nn.TransformerEncoderLayer semantics (post-norm, dropout=0):
   x = LN(x + SelfAttn(x)); x = LN(x + FFN(x)).  Used by LocoTransformer
