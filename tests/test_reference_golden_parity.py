@@ -347,6 +347,47 @@ def test_vision_only_transformer_forward_matches_reference(channels):
   np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
 
 
+def test_visualnet_forward_matches_reference():
+  """ppo_nature_cnn_vision_only wiring: GaussianContPolicyNatureEncoderProj
+  + NatureEncoderProjNet over one shared raw NatureEncoder — no
+  projection layer; the append MLPs consume the 1024-dim conv flatten
+  directly (nets.py:133-191, starter/ppo_nature_cnn_vision_only.py)."""
+  from vision4leg_tpu.models.actor_critic import VisualNetActorCritic
+
+  obs_dim = CH * 64 * 64
+  module = VisualNetActorCritic(
+      action_dim=ADIM, state_input_shape=0,
+      visual_input_shape=(CH, 64, 64), append_hidden_shapes=(64, 64))
+  params = module.init(jax.random.PRNGKey(8), jnp.zeros((1, obs_dim)))
+  p = params["params"]
+
+  encoder = ref_networks.NatureEncoder(in_channels=CH)
+  pf = ref_policies.GaussianContPolicyNatureEncoderProj(
+      encoder=encoder, visual_input_shape=(CH, 64, 64), output_shape=ADIM,
+      append_hidden_shapes=[64, 64])
+  vf = ref_networks.NatureEncoderProjNet(
+      encoder=encoder, visual_input_shape=(CH, 64, 64), output_shape=1,
+      append_hidden_shapes=[64, 64])
+  _load_nature(encoder, p["backbone"])
+  for i in range(3):
+    _lin(pf.seq_append_fcs[2 * i], p["pf_mlp"][f"Dense_{i}"])
+    _lin(vf.seq_append_fcs[2 * i], p["vf_mlp"][f"Dense_{i}"])
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+  pf.eval(), vf.eval()
+
+  obs = _rand_obs(jax.random.PRNGKey(9), (4, obs_dim))
+  mean_j, std_j, _ = module.apply(params, obs, method=module.pi)
+  v_j = module.apply(params, obs, method=module.v)
+  obs_t = torch.tensor(np.asarray(obs))
+  with torch.no_grad():
+    mean_t, std_t, _ = pf(obs_t)
+    v_t = vf(obs_t)
+  np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # update parity: real PPO.update_per_epoch vs repo PPOLearner
 # ---------------------------------------------------------------------------

@@ -244,19 +244,26 @@ class VisionOnlyTransformerActorCritic(nn.Module):
 
 
 class VisualNetActorCritic(nn.Module):
-  """ppo_nature_cnn_vision_only: NatureEncoder features only
-  (nets.py:718 VisualNet)."""
+  """ppo_nature_cnn_vision_only: GaussianContPolicyNatureEncoderProj +
+  NatureEncoderProjNet over ONE shared raw NatureEncoder
+  (continuous_policy.py:257, nets.py:133-191, starter/
+  ppo_nature_cnn_vision_only.py:79-97).  Despite the 'Proj' in the
+  reference's names there is NO projection layer: the append MLPs consume
+  the encoder's 1024-dim conv flatten directly (nets.py:158
+  `append_input_shape = self.encoder.output_dim`), and the config's
+  encoder.visual_dim/hidden_shapes are swallowed unused by
+  NatureEncoder's **kwargs (base.py:304-310)."""
   action_dim: int
   state_input_shape: int
   visual_input_shape: Tuple[int, int, int]
-  visual_dim: int = 256
+  visual_dim: int = 256  # accepted for config parity; unused, as in the
+  # reference (NatureEncoder swallows it, base.py:304-310)
   append_hidden_shapes: Sequence[int] = (256, 256)
   log_init: float = 0.125
 
   def setup(self):
-    from vision4leg_tpu.models.base import NatureEncoder, RLProjection
+    from vision4leg_tpu.models.base import NatureEncoder
     self.backbone = NatureEncoder(flatten=True)
-    self.proj = RLProjection(self.visual_dim)
     self.head = _GaussianHead(self.action_dim, self.log_init)
     self.pf_mlp = MLPHead(self.append_hidden_shapes, self.action_dim)
     self.vf_mlp = MLPHead(self.append_hidden_shapes, 1)
@@ -264,7 +271,7 @@ class VisualNetActorCritic(nn.Module):
   def _features(self, x):
     visual_x = x[..., self.state_input_shape:].reshape(
         x.shape[:-1] + tuple(self.visual_input_shape))
-    return self.proj(self.backbone(visual_x))
+    return self.backbone(visual_x)
 
   def pi(self, x):
     return self.head(self.pf_mlp(self._features(x)))
