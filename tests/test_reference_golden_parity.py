@@ -347,6 +347,65 @@ def test_vision_only_transformer_forward_matches_reference(channels):
   np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
 
 
+def _load_impala(dst, p):
+  """flax ImpalaEncoder -> reference ImpalaEncoder (base.py:158-190):
+  3 ImpalaBlocks of conv + maxpool + 2 residual blocks."""
+  for bi, blk in enumerate([dst.block1, dst.block2, dst.block3]):
+    _conv(blk.conv, p[f"Conv_{bi}"])
+    for ri, res in enumerate([blk.res1, blk.res2]):
+      rp = p[f"ImpalaResBlock_{2 * bi + ri}"]
+      _conv(res.conv1, rp["Conv_0"])
+      _conv(res.conv2, rp["Conv_1"])
+
+
+def test_impala_fuse_residual_forward_matches_reference():
+  """PPOAux's actor: GaussianContPolicyImpalaFuseResidual
+  (continuous_policy.py:293 over nets.py:384-487 ImpalaFuseResidualActor
+  + base.py:253 ImpalaFuseEncoder): actor output = fused(cat[visual,
+  state]) + residual(state), with the Impala conv stack (whose torch
+  MaxPool2d(3,2,padding=1) pads symmetrically — pinned here).  The aux
+  path (forward_and_compute_aux_loss) is NOT golden-testable: it calls
+  encoder.forward_with_sub_vec, which no reference encoder defines —
+  uncallable dead code in the reference."""
+  from vision4leg_tpu.models.actor_critic import ImpalaFuseResidualActorCritic
+
+  proprio = 33
+  obs_dim = proprio + CH * 64 * 64
+  module = ImpalaFuseResidualActorCritic(
+      action_dim=ADIM, state_input_shape=proprio,
+      visual_input_shape=(CH, 64, 64), encoder_hidden_shapes=(32, 32),
+      visual_dim=64, append_hidden_shapes=(32, 32))
+  params = module.init(jax.random.PRNGKey(10), jnp.zeros((1, obs_dim)))
+  p = params["params"]
+
+  encoder = ref_networks.ImpalaFuseEncoder(
+      in_channels=CH, state_input_dim=proprio, visual_dim=64,
+      hidden_shapes=[32, 32])
+  pf = ref_policies.GaussianContPolicyImpalaFuseResidual(
+      encoder=encoder, state_input_shape=proprio,
+      visual_input_shape=(CH, 64, 64), output_shape=ADIM,
+      append_hidden_shapes=[32, 32])
+
+  _load_impala(encoder.visual_base, p["visual_base"])
+  _lin(encoder.visual_projector.projection[0], p["visual_proj"]["Dense_0"])
+  _lin(encoder.base.seq_fcs[0], p["state_mlp"]["Dense_0"])
+  _lin(encoder.base.seq_fcs[2], p["state_mlp"]["Dense_1"])
+  for i in range(3):
+    _lin(pf.visual_seq_append_fcs[2 * i], p["pf_fused"][f"Dense_{i}"])
+    _lin(pf.seq_append_fcs[2 * i], p["pf_state"][f"Dense_{i}"])
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+  pf.eval()
+
+  obs = _rand_obs(jax.random.PRNGKey(11), (3, obs_dim))
+  mean_j, std_j, _ = module.apply(params, obs, method=module.pi)
+  obs_t = torch.tensor(np.asarray(obs))
+  with torch.no_grad():
+    mean_t, std_t, _ = pf(obs_t)
+  np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(), atol=1e-6)
+
+
 def test_visualnet_forward_matches_reference():
   """ppo_nature_cnn_vision_only wiring: GaussianContPolicyNatureEncoderProj
   + NatureEncoderProjNet over one shared raw NatureEncoder — no

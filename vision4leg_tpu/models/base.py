@@ -52,15 +52,23 @@ class NatureEncoder(nn.Module):
     return x
 
 
+def _xavier_conv(feats):
+  # the reference applies xavier_uniform_init to every Impala conv
+  # (base.py:171 self.apply(xavier_uniform_init))
+  return nn.Conv(feats, (3, 3), padding="SAME",
+                 kernel_init=nn.initializers.xavier_uniform(),
+                 bias_init=nn.initializers.zeros)
+
+
 class ImpalaResBlock(nn.Module):
   feats: int
 
   @nn.compact
   def __call__(self, x):
     h = nn.relu(x)
-    h = nn.Conv(self.feats, (3, 3), padding="SAME")(h)
+    h = _xavier_conv(self.feats)(h)
     h = nn.relu(h)
-    h = nn.Conv(self.feats, (3, 3), padding="SAME")(h)
+    h = _xavier_conv(self.feats)(h)
     return x + h
 
 
@@ -72,8 +80,12 @@ class ImpalaEncoder(nn.Module):
   def __call__(self, x):
     x = jnp.transpose(x, (0, 2, 3, 1))
     for feats in (16, 32, 32):
-      x = nn.Conv(feats, (3, 3), padding="SAME")(x)
-      x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+      x = _xavier_conv(feats)(x)
+      # torch MaxPool2d(kernel 3, stride 2, padding=1) pads SYMMETRICALLY;
+      # flax "SAME" pads (0, 1) on even inputs, shifting every pooling
+      # window by one pixel — explicit (1, 1) padding matches torch
+      x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                      padding=((1, 1), (1, 1)))
       x = ImpalaResBlock(feats)(x)
       x = ImpalaResBlock(feats)(x)
     x = nn.relu(x)
