@@ -202,6 +202,28 @@ def test_locotransformer_forward_matches_reference():
   np.testing.assert_allclose(np.asarray(v_j), v_t.numpy(), atol=1e-4)
 
 
+def _build_ref_state_pair(params, obs_dim, hidden=(64, 64), append=(32, 32)):
+  """Reference GaussianContPolicyBasicBias + Net with a shared MLPBase
+  (starter/ppo_state.py:93-104), flax params transplanted in."""
+  p = params["params"]
+  pf = ref_policies.GaussianContPolicyBasicBias(
+      input_shape=obs_dim, output_shape=ADIM,
+      base_type=ref_networks.MLPBase, hidden_shapes=list(hidden),
+      append_hidden_shapes=list(append))
+  vf = ref_networks.Net(
+      input_shape=obs_dim, output_shape=1, base_type=ref_networks.MLPBase,
+      hidden_shapes=list(hidden), append_hidden_shapes=list(append))
+  vf.base = pf.base  # the reference's shared trunk
+  for i in range(len(hidden)):
+    _lin(pf.base.seq_fcs[2 * i], p["base"][f"Dense_{i}"])
+  for i in range(len(append) + 1):
+    _lin(pf.seq_append_fcs[2 * i], p["pf_mlp"][f"Dense_{i}"])
+    _lin(vf.seq_append_fcs[2 * i], p["vf_mlp"][f"Dense_{i}"])
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+  return pf, vf
+
+
 def test_state_policy_forward_matches_reference():
   """ppo_state wiring: GaussianContPolicyBasicBias + Net with a shared
   MLPBase (starter/ppo_state.py:93-104)."""
@@ -209,23 +231,7 @@ def test_state_policy_forward_matches_reference():
   module = StateActorCritic(action_dim=ADIM, hidden_shapes=(64, 64),
                             append_hidden_shapes=(32, 32))
   params = module.init(jax.random.PRNGKey(2), jnp.zeros((1, obs_dim)))
-  p = params["params"]
-
-  pf = ref_policies.GaussianContPolicyBasicBias(
-      input_shape=obs_dim, output_shape=ADIM,
-      base_type=ref_networks.MLPBase, hidden_shapes=[64, 64],
-      append_hidden_shapes=[32, 32])
-  vf = ref_networks.Net(
-      input_shape=obs_dim, output_shape=1, base_type=ref_networks.MLPBase,
-      hidden_shapes=[64, 64], append_hidden_shapes=[32, 32])
-  vf.base = pf.base  # the reference's shared trunk
-  _lin(pf.base.seq_fcs[0], p["base"]["Dense_0"])
-  _lin(pf.base.seq_fcs[2], p["base"]["Dense_1"])
-  for i in range(3):
-    _lin(pf.seq_append_fcs[2 * i], p["pf_mlp"][f"Dense_{i}"])
-    _lin(vf.seq_append_fcs[2 * i], p["vf_mlp"][f"Dense_{i}"])
-  with torch.no_grad():
-    pf.logstd.copy_(_t(p["head"]["logstd"]))
+  pf, vf = _build_ref_state_pair(params, obs_dim)
 
   obs = _rand_obs(jax.random.PRNGKey(3), (7, obs_dim))
   mean_j, std_j, _ = module.apply(params, obs, method=module.pi)
@@ -577,3 +583,184 @@ def test_ppo_update_matches_real_reference(clipped_vf):
   base0 = np.asarray(params["params"]["pf_mlp"]["Dense_2"]["kernel"])
   base1 = np.asarray(got["pf_mlp"]["Dense_2"]["kernel"])
   assert np.abs(base1 - base0).max() > 1e-6
+
+def _unshared_state_module():
+  """A state pf/vf pair with SEPARATE trunks.  The reference's own A2C is
+  UNUSABLE with its shipped shared-trunk wiring (ppo_state.py:103
+  `vf.base = pf.base`): A2C.update builds the vf graph before
+  pf_optimizer.step() mutates the shared base in place, so
+  vf_loss.backward() raises RuntimeError (torch in-place version check) —
+  pinned by test_a2c_reference_crashes_with_shared_trunk below.  Golden
+  A2C parity therefore uses unshared trunks, where the reference update
+  is well-defined."""
+  import flax.linen as nn
+  from vision4leg_tpu.models.actor_critic import MLPHead, _GaussianHead
+  from vision4leg_tpu.models.base import MLPBase
+
+  class _UnsharedStateAC(nn.Module):
+    def setup(self):
+      self.pf_base = MLPBase((64, 64))
+      self.pf_mlp = MLPHead((32, 32), ADIM)
+      self.head = _GaussianHead(ADIM, 0.125)
+      self.vf_base = MLPBase((64, 64))
+      self.vf_mlp = MLPHead((32, 32), 1)
+
+    def pi(self, x):
+      return self.head(self.pf_mlp(self.pf_base(x)))
+
+    def v(self, x):
+      return self.vf_mlp(self.vf_base(x))
+
+    def __call__(self, x):
+      return self.pi(x), self.v(x)
+
+  return _UnsharedStateAC()
+
+
+def _build_ref_state_pair_unshared(params, obs_dim):
+  p = params["params"]
+  pf = ref_policies.GaussianContPolicyBasicBias(
+      input_shape=obs_dim, output_shape=ADIM,
+      base_type=ref_networks.MLPBase, hidden_shapes=[64, 64],
+      append_hidden_shapes=[32, 32])
+  vf = ref_networks.Net(
+      input_shape=obs_dim, output_shape=1, base_type=ref_networks.MLPBase,
+      hidden_shapes=[64, 64], append_hidden_shapes=[32, 32])
+  for i in range(2):
+    _lin(pf.base.seq_fcs[2 * i], p["pf_base"][f"Dense_{i}"])
+    _lin(vf.base.seq_fcs[2 * i], p["vf_base"][f"Dense_{i}"])
+  for i in range(3):
+    _lin(pf.seq_append_fcs[2 * i], p["pf_mlp"][f"Dense_{i}"])
+    _lin(vf.seq_append_fcs[2 * i], p["vf_mlp"][f"Dense_{i}"])
+  with torch.no_grad():
+    pf.logstd.copy_(_t(p["head"]["logstd"]))
+  return pf, vf
+
+
+def _synthetic_epoch(obs_dim, module, params, apply_pi, apply_v, seed=13):
+  T, E = 4, 2
+  ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+  obs = _rand_obs(ks[0], (T, E, obs_dim))
+  next_obs = _rand_obs(ks[1], (T, E, obs_dim))
+  acts = jax.random.normal(ks[2], (T, E, ADIM))
+  rewards = jax.random.normal(ks[3], (T, E, 1))
+  terminals = (jax.random.uniform(ks[4], (T, E, 1)) < 0.2)
+  time_limits = jnp.zeros((T, E, 1), bool).at[1, 0, 0].set(True)
+
+  flat_obs = obs.reshape(-1, obs_dim)
+  mean0, std0, _ = apply_pi(params, flat_obs)
+  logp0 = jnp.sum(
+      -0.5 * ((acts.reshape(-1, ADIM) - mean0) / std0) ** 2
+      - jnp.log(std0) - 0.5 * jnp.log(2 * jnp.pi), -1, keepdims=True)
+  values0 = apply_v(params, flat_obs)
+
+  traj = Transition(
+      obs=obs, acts=acts, log_probs=logp0.reshape(T, E, 1),
+      values=values0.reshape(T, E, 1), rewards=rewards,
+      terminals=terminals, time_limits=time_limits,
+      means=mean0.reshape(T, E, ADIM), stds=std0.reshape(T, E, ADIM))
+  last_value = (apply_v(params, next_obs[-1])[:, 0]
+                * (1.0 - terminals[-1, :, 0].astype(jnp.float32)))
+
+  buf = OnPolicyReplayBuffer(env_nums=E, max_replay_buffer_size=T * E,
+                             time_limit_filter=True)
+  for t in range(T):
+    buf.add_sample({
+        "obs": np.asarray(obs)[t], "next_obs": np.asarray(next_obs)[t],
+        "acts": np.asarray(acts)[t],
+        "values": np.asarray(values0.reshape(T, E, 1))[t],
+        "rewards": np.asarray(rewards)[t],
+        "terminals": np.asarray(terminals)[t],
+        "time_limits": np.asarray(time_limits)[t]})
+  return T, E, traj, last_value, buf
+
+
+def test_a2c_update_matches_real_reference():
+  """One epoch of the REAL torchrl A2C (a2c.py:46-107: per-minibatch adv
+  normalization, -logp*adv - ent_coeff*ent, vf MSE, dual Adam eps=1e-5,
+  grad clip 0.5, pf-step-then-vf-step with BOTH gradients taken at the
+  pre-update params) vs the repo's A2CLearner, from identical weights and
+  trajectories.  Unshared pf/vf trunks — see _unshared_state_module."""
+  from torchrl.algo import A2C as RefA2C
+  from vision4leg_tpu.algo.a2c import A2CConfig, A2CLearner
+
+  obs_dim = 9
+  cfg = A2CConfig(plr=1e-3, vlr=1e-3, entropy_coeff=0.005, discount=0.99,
+                  tau=0.95, batch_size=4, epoch_frames=8,
+                  max_episode_frames=999, num_epochs=100, shuffle=False)
+
+  module = _unshared_state_module()
+  params = module.init(jax.random.PRNGKey(12), jnp.zeros((1, obs_dim)))
+  pf, vf = _build_ref_state_pair_unshared(params, obs_dim)
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  learner = A2CLearner(cfg, apply_pi, apply_v, params)
+  ts = learner.init_state(params)
+  T, E, traj, last_value, buf = _synthetic_epoch(
+      obs_dim, module, params, apply_pi, apply_v)
+
+  new_ts, _ = jax.jit(learner.update_per_epoch)(ts, traj, last_value,
+                                                jax.random.PRNGKey(0))
+
+  agent = RefA2C(
+      pf=pf, vf=vf, plr=cfg.plr, vlr=cfg.vlr,
+      entropy_coeff=cfg.entropy_coeff, tau=cfg.tau, gae=True,
+      shuffle=False, env=_FakeEnv(), replay_buffer=buf,
+      collector=_FakeCollector(T * E), logger=_NullLogger(),
+      discount=cfg.discount, batch_size=cfg.batch_size,
+      num_epochs=cfg.num_epochs, device="cpu", save_dir="/tmp/ref_golden")
+  agent.current_epoch = 0
+  agent.update_per_epoch()
+
+  pf_new, vf_new = _build_ref_state_pair_unshared(new_ts.params, obs_dim)
+  for (a, b, what) in [(pf, pf_new, "pf"), (vf, vf_new, "vf")]:
+    sa, sb = a.state_dict(), b.state_dict()
+    assert sa.keys() == sb.keys()
+    for k in sa:
+      np.testing.assert_allclose(
+          sb[k].numpy(), sa[k].numpy(), atol=2e-4,
+          err_msg=f"{what}:{k} diverged from the real reference A2C update")
+
+
+def test_a2c_reference_crashes_with_shared_trunk():
+  """DISCOVERED while golden-testing: the reference's A2C cannot run with
+  its own shipped shared-trunk wiring (ppo_state.py:103 vf.base=pf.base).
+  A2C.update (a2c.py:77) builds the vf loss graph BEFORE
+  pf_optimizer.step() mutates the shared base in place, so
+  vf_loss.backward() raises torch's in-place version-check RuntimeError.
+  (PPO is unaffected: update_critic finishes backward+step before
+  update_actor builds its graph, ppo.py:94-123.)  The repo's A2C is a
+  well-defined superset: both gradients are taken at the pre-update
+  params, which is also exactly what the reference computes in the cases
+  where it does run (unshared trunks — test above)."""
+  from torchrl.algo import A2C as RefA2C
+
+  obs_dim = 9
+  module = StateActorCritic(action_dim=ADIM, hidden_shapes=(64, 64),
+                            append_hidden_shapes=(32, 32))
+  params = module.init(jax.random.PRNGKey(14), jnp.zeros((1, obs_dim)))
+  pf, vf = _build_ref_state_pair(params, obs_dim)  # SHARED trunk
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  T, E, traj, last_value, buf = _synthetic_epoch(
+      obs_dim, module, params, apply_pi, apply_v, seed=15)
+
+  agent = RefA2C(
+      pf=pf, vf=vf, plr=1e-3, vlr=1e-3, entropy_coeff=0.005, tau=0.95,
+      gae=True, shuffle=False, env=_FakeEnv(), replay_buffer=buf,
+      collector=_FakeCollector(T * E), logger=_NullLogger(),
+      discount=0.99, batch_size=4, num_epochs=100, device="cpu",
+      save_dir="/tmp/ref_golden")
+  agent.current_epoch = 0
+  with pytest.raises(RuntimeError, match="inplace"):
+    agent.update_per_epoch()
