@@ -764,3 +764,70 @@ def test_a2c_reference_crashes_with_shared_trunk():
   agent.current_epoch = 0
   with pytest.raises(RuntimeError, match="inplace"):
     agent.update_per_epoch()
+
+def test_qnet_forward_matches_reference():
+  """Off-policy critics (SAC/TD3/DDPG): the reference QNet (nets.py QNet:
+  Net over concat(obs, action)) vs the repo QNet, weights transplanted."""
+  from vision4leg_tpu.models.off_policy_nets import QNet
+
+  obs_dim, act_dim = 11, ADIM
+  module = QNet(hidden_shapes=(32, 32))
+  obs = jnp.zeros((1, obs_dim))
+  act = jnp.zeros((1, act_dim))
+  params = module.init(jax.random.PRNGKey(16), obs, act)
+  p = params["params"]
+
+  ref = ref_networks.QNet(
+      output_shape=1, base_type=ref_networks.MLPBase,
+      input_shape=obs_dim + act_dim, hidden_shapes=[32, 32])
+  _lin(ref.base.seq_fcs[0], p["MLPBase_0"]["Dense_0"])
+  _lin(ref.base.seq_fcs[2], p["MLPBase_0"]["Dense_1"])
+  _lin(ref.seq_append_fcs[0], p["Dense_0"])
+  ref.eval()
+
+  ks = jax.random.split(jax.random.PRNGKey(17), 2)
+  obs = _rand_obs(ks[0], (7, obs_dim))
+  act = jnp.tanh(_rand_obs(ks[1], (7, act_dim)))
+  q_j = module.apply(params, obs, act)
+  with torch.no_grad():
+    q_t = ref((torch.tensor(np.asarray(obs)), torch.tensor(np.asarray(act))))
+  np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), atol=1e-5)
+
+
+def test_tanh_normal_log_prob_matches_reference():
+  """TanhNormal.log_prob (distribution.py:39-50, RLKIT-style: Normal
+  log-prob of the pre-tanh value minus log(1 - a^2 + 1e-6)) vs the repo's
+  distributions.log_prob — both the given-pre_tanh and the
+  reconstructed-arctanh paths."""
+  from torchrl.policies.distribution import TanhNormal as RefTanhNormal
+  from vision4leg_tpu.models import distributions as dist
+
+  ks = jax.random.split(jax.random.PRNGKey(18), 3)
+  mean = _rand_obs(ks[0], (5, ADIM))
+  std = jnp.exp(_rand_obs(ks[1], (5, ADIM)) * 0.3)
+  z = mean + std * _rand_obs(ks[2], (5, ADIM))
+  a = jnp.tanh(z)
+
+  lp_j = dist.log_prob(mean, std, a, z)
+  ref = RefTanhNormal(torch.tensor(np.asarray(mean)),
+                      torch.tensor(np.asarray(std)))
+  lp_t = ref.log_prob(torch.tensor(np.asarray(a)),
+                      pre_tanh_value=torch.tensor(np.asarray(z)))
+  np.testing.assert_allclose(np.asarray(lp_j), lp_t.numpy(), atol=1e-5)
+  # arctanh-reconstruction path (the reference's no-pre_tanh branch)
+  lp_t2 = ref.log_prob(torch.tensor(np.asarray(a)))
+  np.testing.assert_allclose(np.asarray(lp_j), lp_t2.numpy(), atol=2e-4)
+
+
+def test_bootstrapped_net_reference_is_unconstructable():
+  """DISCOVERED while extending golden coverage: the reference's
+  BootstrappedNet can never be instantiated — its ctor passes
+  `add_ln=add_ln ** kwargs` (nets.py BootstrappedNet.__init__, a missing
+  comma), i.e. bool ** dict, which raises TypeError for every possible
+  argument combination.  The repo's BootstrappedQNet is therefore built
+  from the class's evident intent (shared base + head_num independent
+  append MLPs), not from runnable reference behavior."""
+  with pytest.raises(TypeError, match="unsupported operand"):
+    ref_networks.BootstrappedNet(
+        output_shape=3, base_type=ref_networks.MLPBase, input_shape=5,
+        hidden_shapes=[8], head_num=2)
