@@ -140,7 +140,7 @@ def test_ppo_epoch_matches_torch_reference():
       adv = advs_f[idx].reshape(-1, 1)
       ret = rets_f[idx].reshape(-1, 1)
       lp_old = logp_f[idx].reshape(-1, 1)
-      adv = (adv - adv.mean()) / (adv.std(unbiased=False) + 1e-5)
+      adv = (adv - adv.mean()) / (adv.std() + 1e-5)  # torch default: Bessel, as the real reference
       # critic first (ppo.py:152)
       vf_loss = ((vf_out(torch.tanh(enc(o))) - ret) ** 2).mean()
       vf_opt.zero_grad(); vf_loss.backward()

@@ -637,7 +637,16 @@ def _build_ref_state_pair_unshared(params, obs_dim):
   return pf, vf
 
 
-def _synthetic_epoch(obs_dim, module, params, apply_pi, apply_v, seed=13):
+def _synthetic_epoch(obs_dim, module, params, apply_pi, apply_v, seed=13,
+                     policy_acts=False):
+  """policy_acts=True draws acts from the current policy (mean + std*eps)
+  instead of a unit normal.  TRPO needs this: its surrogate works in
+  PROBABILITY space (trpo.py:178-181 probs_new = exp(log_probs)), and
+  off-policy unit-normal acts under the reference's tight std=0.125 init
+  give logp ~ -190, so exp underflows to exactly 0.0 in f32 and the whole
+  ratio term silently drops out of the reference's gradient — parity would
+  then only pin the entropy term.  PPO/A2C work in log space and don't
+  care."""
   T, E = 4, 2
   ks = jax.random.split(jax.random.PRNGKey(seed), 6)
   obs = _rand_obs(ks[0], (T, E, obs_dim))
@@ -649,6 +658,8 @@ def _synthetic_epoch(obs_dim, module, params, apply_pi, apply_v, seed=13):
 
   flat_obs = obs.reshape(-1, obs_dim)
   mean0, std0, _ = apply_pi(params, flat_obs)
+  if policy_acts:
+    acts = (mean0 + std0 * acts.reshape(-1, ADIM)).reshape(T, E, ADIM)
   logp0 = jnp.sum(
       -0.5 * ((acts.reshape(-1, ADIM) - mean0) / std0) ** 2
       - jnp.log(std0) - 0.5 * jnp.log(2 * jnp.pi), -1, keepdims=True)
@@ -831,3 +842,68 @@ def test_bootstrapped_net_reference_is_unconstructable():
     ref_networks.BootstrappedNet(
         output_shape=3, base_type=ref_networks.MLPBase, input_shape=5,
         hidden_shapes=[8], head_num=2)
+
+def test_trpo_update_matches_real_reference():
+  """One epoch of the REAL torchrl TRPO (trpo.py:154-276: whole-buffer
+  natural gradient — Fisher CG with damping 0.1, sqrt(2*max_kl/sHs) step,
+  10-backtrack line search whose objective has NO entropy term even
+  though the searched gradient does, then v_opt_times value sweeps with
+  0.5*MSE/Adam eps=1e-5/clip 0.5) vs the repo's TRPOLearner, from
+  identical weights and trajectories, with the reference's shared
+  pf/vf trunk.  TRPO is deterministic given the batch, so this pins the
+  full CG + trust-region + line-search pipeline."""
+  from torchrl.algo import TRPO as RefTRPO
+  from vision4leg_tpu.algo.trpo import TRPOConfig, TRPOLearner
+
+  obs_dim = 9
+  T, E = 4, 2
+  cfg = TRPOConfig(plr=1e-3, vlr=1e-3, entropy_coeff=0.005, discount=0.99,
+                   tau=0.95, batch_size=T * E, epoch_frames=T * E,
+                   max_episode_frames=999, num_epochs=100, shuffle=False,
+                   max_kl=0.01, cg_damping=0.1, cg_iters=10,
+                   residual_tol=1e-10, v_opt_times=2)
+
+  module = StateActorCritic(action_dim=ADIM, hidden_shapes=(64, 64),
+                            append_hidden_shapes=(32, 32))
+  params = module.init(jax.random.PRNGKey(20), jnp.zeros((1, obs_dim)))
+  pf, vf = _build_ref_state_pair(params, obs_dim)
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  learner = TRPOLearner(cfg, apply_pi, apply_v, params)
+  ts = learner.init_state(params)
+  T_, E_, traj, last_value, buf = _synthetic_epoch(
+      obs_dim, module, params, apply_pi, apply_v, seed=21, policy_acts=True)
+
+  new_ts, _ = jax.jit(learner.update_per_epoch)(ts, traj, last_value,
+                                                jax.random.PRNGKey(0))
+
+  agent = RefTRPO(
+      pf=pf, vf=vf, plr=cfg.plr, vlr=cfg.vlr,
+      entropy_coeff=cfg.entropy_coeff, tau=cfg.tau, gae=True,
+      shuffle=False, env=_FakeEnv(), replay_buffer=buf,
+      collector=_FakeCollector(T * E), logger=_NullLogger(),
+      discount=cfg.discount, batch_size=cfg.batch_size,
+      num_epochs=cfg.num_epochs, device="cpu", save_dir="/tmp/ref_golden",
+      max_kl=cfg.max_kl, cg_damping=cfg.cg_damping, cg_iters=cfg.cg_iters,
+      residual_tol=cfg.residual_tol, v_opt_times=cfg.v_opt_times)
+  agent.current_epoch = 0
+  agent.continuous = True
+  agent.update_per_epoch()
+
+  pf_new, vf_new = _build_ref_state_pair(new_ts.params, obs_dim)
+  # atol rationale: the natural-gradient step moves params by ~1e-2 (the
+  # KL=0.01 trust region); torch runs the CG inner products in float64
+  # where the jitted scan stays f32, so direction noise up to ~1e-4 of
+  # the step survives.
+  for (a, b, what) in [(pf, pf_new, "pf"), (vf, vf_new, "vf")]:
+    sa, sb = a.state_dict(), b.state_dict()
+    assert sa.keys() == sb.keys()
+    for k in sa:
+      np.testing.assert_allclose(
+          sb[k].numpy(), sa[k].numpy(), atol=5e-4,
+          err_msg=f"{what}:{k} diverged from the real reference TRPO update")

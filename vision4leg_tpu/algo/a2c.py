@@ -28,7 +28,7 @@ class A2CLearner(OnPolicyLearner):
   def _minibatch_update(self, ts: TrainState, batch):
     cfg = self.cfg
     obs, acts, advs, est_rets, _, _, _, _ = batch
-    advs = (advs - advs.mean()) / (advs.std() + 1e-5)
+    advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-5)
 
     def pf_loss_fn(params):
       mean, std, _ = self.apply_pi(params, obs)

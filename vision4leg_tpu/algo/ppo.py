@@ -48,7 +48,7 @@ class PPOLearner(OnPolicyLearner):
     cfg = self.cfg
     obs, acts, advs, est_rets, old_values, old_logp, _, _ = batch
     # per-minibatch advantage normalization (ppo.py:148)
-    advs = (advs - advs.mean()) / (advs.std() + 1e-5)
+    advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-5)
 
     # --- critic first (ppo.py:152) ---
     def vf_loss_fn(params):

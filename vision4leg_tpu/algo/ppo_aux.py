@@ -35,7 +35,7 @@ class PPOAuxLearner(PPOLearner):
   def _minibatch_update(self, ts: TrainState, batch):
     cfg = self.cfg
     obs, acts, advs, est_rets, old_values, old_logp, _, _ = batch
-    advs = (advs - advs.mean()) / (advs.std() + 1e-5)
+    advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-5)
 
     def vf_loss_fn(params):
       values = self.apply_v(params, obs)

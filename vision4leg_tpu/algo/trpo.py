@@ -46,7 +46,9 @@ class TRPOLearner(OnPolicyLearner):
     flat = lambda x: x.reshape((T * E,) + x.shape[2:])
     obs, acts = flat(traj.obs), flat(traj.acts)
     advs_f = flat(advs[..., None])
-    advs_n = (advs_f - advs_f.mean()) / (advs_f.std() + 1e-4)
+    # ddof=1: torch .std() is Bessel-corrected; the scale reaches g's
+    # ratio/entropy mix and hence the CG direction (trpo.py:172)
+    advs_n = (advs_f - advs_f.mean()) / (advs_f.std(ddof=1) + 1e-4)
 
     # split params into the pf-owned subset (optimized by TRPO) + rest
     labels = param_labels(ts.params)
@@ -81,10 +83,28 @@ class TRPOLearner(OnPolicyLearner):
       return (-jnp.mean(ratio * advs_n)
               - cfg.entropy_coeff * ent.mean())
 
+    def ls_surrogate(theta):
+      # the reference's LINE-SEARCH objective has NO entropy term
+      # (trpo.py:114-131 surrogate_loss: -mean(ratio * advs) only), even
+      # though the policy gradient g it searches along includes one
+      # (trpo.py:181-186) — replicated exactly
+      mean, std, _ = pi(theta)
+      ratio = jnp.exp(normal_log_prob(mean, std, acts) - logp0)
+      return -jnp.mean(ratio * advs_n)
+
     def mean_kl(theta):
       mean, std, _ = pi(theta)
-      # KL(current-theta dist || frozen) as trpo.py:30-64 (old = grad side)
-      return normal_kl(mean, std, mean0, std0).mean()
+      # KL(current-theta dist || frozen) as trpo.py:30-64 (old = grad side).
+      # Axis quirk replicated exactly: the reference evaluates the KL on the
+      # UNFLATTENED (T, E, A) batch and `torch.sum(..., 1)` sums the ENV
+      # axis — not the action axis — before the mean over (T, A)
+      # (trpo.py:37-40 with update()'s obs straight from the buffer,
+      # trpo.py:159-163).  Its mean-KL is therefore sum_all/(T*A): the
+      # trust region scales with E/A, and because CG is damped the warp is
+      # direction-dependent (sqrt(E/A) on high-curvature blocks), so a
+      # per-sample KL would NOT land on the reference's parameters.
+      kl = normal_kl(mean, std, mean0, std0)   # (T*E, 1), summed over A
+      return jnp.sum(kl) / (T * acts.shape[-1])
 
     g = jax.grad(surrogate)(theta0)
 
@@ -118,12 +138,13 @@ class TRPOLearner(OnPolicyLearner):
 
     # backtracking line search (trpo.py:133-152), unrolled 10 halvings
     fval0 = surrogate(theta0)
+    ls_fval0 = ls_surrogate(theta0)
 
     def ls_body(carry, stepfrac):
       theta_best, accepted = carry
       theta_new = theta0 + stepfrac * fullstep
-      newf = surrogate(theta_new)
-      improve = fval0 - newf
+      newf = ls_surrogate(theta_new)
+      improve = ls_fval0 - newf
       ok = ((improve / (expected_rate * stepfrac) > 0.1)
             & (improve > 0) & (~accepted))
       theta_best = jnp.where(ok, theta_new, theta_best)

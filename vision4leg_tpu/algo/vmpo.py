@@ -41,7 +41,7 @@ class VMPOLearner(OnPolicyLearner):
   def _minibatch_update(self, ts: TrainState, batch):
     cfg = self.cfg
     obs, acts, advs, est_rets, _, _, b_means, b_stds = batch
-    advs = (advs - advs.mean()) / (advs.std() + 1e-5)
+    advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-5)
 
     # --- critic first (v_mpo.py:185) ---
     def vf_loss_fn(params):
