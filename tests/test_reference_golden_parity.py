@@ -907,3 +907,323 @@ def test_trpo_update_matches_real_reference():
       np.testing.assert_allclose(
           sb[k].numpy(), sa[k].numpy(), atol=5e-4,
           err_msg=f"{what}:{k} diverged from the real reference TRPO update")
+
+
+# ---------------------------------------------------------------------------
+# off-policy golden parity: DDPG / DQN / TD3 / TwinSACQ vs the real torchrl
+# ---------------------------------------------------------------------------
+from vision4leg_tpu.algo.off_policy.learners import (  # noqa: E402
+    DDPGLearner, DQNLearner, OffPolicyConfig, TD3Learner, TwinSACQLearner)
+from vision4leg_tpu.models.off_policy_nets import (  # noqa: E402
+    DetTanhPolicy, DiscreteQNet, QNet, TanhGaussianPolicy)
+
+OFF_OBS, OFF_B = 11, 6
+_OFF_CFG = OffPolicyConfig(plr=1e-3, qlr=1e-3, discount=0.99,
+                           batch_size=OFF_B, tau=0.01)
+
+
+def _load_ref_net(ref, p):
+  """Transplant a repo MLPBase(h0, h1)+Dense head into a reference Net."""
+  _lin(ref.base.seq_fcs[0], p["MLPBase_0"]["Dense_0"])
+  _lin(ref.base.seq_fcs[2], p["MLPBase_0"]["Dense_1"])
+  _lin(ref.seq_append_fcs[0], p["Dense_0"])
+  return ref
+
+
+def _ref_qnet(params, act_dim, hidden=(32, 32)):
+  return _load_ref_net(
+      ref_networks.QNet(output_shape=1, base_type=ref_networks.MLPBase,
+                        input_shape=OFF_OBS + act_dim,
+                        hidden_shapes=list(hidden)), params["params"])
+
+
+def _off_batch(seed, act_dim=ADIM, discrete=False):
+  ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+  obs = _rand_obs(ks[0], (OFF_B, OFF_OBS))
+  next_obs = _rand_obs(ks[1], (OFF_B, OFF_OBS))
+  if discrete:
+    acts = jax.random.randint(ks[2], (OFF_B,), 0, act_dim)
+  else:
+    acts = jnp.tanh(_rand_obs(ks[2], (OFF_B, act_dim)))
+  rewards = _rand_obs(ks[3], (OFF_B, 1))
+  terminals = (jax.random.uniform(ks[4], (OFF_B, 1)) < 0.2).astype(
+      jnp.float32)
+  return {"obs": obs, "acts": acts, "next_obs": next_obs,
+          "rewards": rewards, "terminals": terminals}
+
+
+def _np_batch(batch, discrete=False):
+  out = {k: np.asarray(v) for k, v in batch.items()}
+  if discrete:
+    out["acts"] = out["acts"][:, None].astype(np.float32)
+  return out
+
+
+def _assert_nets_close(ref_net, params, builder, what, atol=1e-5):
+  rebuilt = builder(params)
+  sa, sb = ref_net.state_dict(), rebuilt.state_dict()
+  assert sa.keys() == sb.keys()
+  for k in sa:
+    np.testing.assert_allclose(
+        sb[k].numpy(), sa[k].numpy(), atol=atol,
+        err_msg=f"{what}:{k} diverged from the real reference update")
+
+
+def test_ddpg_update_matches_real_reference():
+  """Three updates of the REAL torchrl DDPG (ddpg.py:43-111: deterministic
+  actor against the pre-update critic, MSE critic on the target-net
+  bootstrap, dual Adam, soft target updates every step) vs the repo's
+  DDPGLearner, from identical transplanted weights and batches.  Fully
+  deterministic — no RNG bridging needed."""
+  from torchrl.algo import DDPG as RefDDPG
+
+  pf_mod = DetTanhPolicy(action_dim=ADIM, hidden_shapes=(32, 32))
+  qf_mod = QNet(hidden_shapes=(32, 32))
+  pf_params = pf_mod.init(jax.random.PRNGKey(30), jnp.zeros((1, OFF_OBS)))
+  qf_params = qf_mod.init(jax.random.PRNGKey(31), jnp.zeros((1, OFF_OBS)),
+                          jnp.zeros((1, ADIM)))
+
+  def build_pf(p):
+    return _load_ref_net(
+        ref_policies.DetContPolicy(
+            tanh_action=True, output_shape=ADIM,
+            base_type=ref_networks.MLPBase, input_shape=OFF_OBS,
+            hidden_shapes=[32, 32]), p["params"])
+
+  pf_t, qf_t = build_pf(pf_params), _ref_qnet(qf_params, ADIM)
+  agent = RefDDPG(
+      pf=pf_t, qf=qf_t, plr=_OFF_CFG.plr, qlr=_OFF_CFG.qlr,
+      tau=_OFF_CFG.tau, use_soft_update=True, env=_FakeEnv(),
+      replay_buffer=None, collector=_FakeCollector(OFF_B),
+      logger=_NullLogger(), discount=_OFF_CFG.discount,
+      batch_size=OFF_B, num_epochs=10, device="cpu",
+      save_dir="/tmp/ref_golden")
+
+  learner = DDPGLearner(_OFF_CFG, pf_mod.apply, qf_mod.apply)
+  state = learner.init_state(pf_params, qf_params)
+  update = jax.jit(learner.update)
+  for i in range(3):
+    batch = _off_batch(40 + i)
+    state, _ = update(state, batch, jax.random.PRNGKey(i))
+    agent.update(_np_batch(batch))
+
+  _assert_nets_close(pf_t, state.params["pf"], build_pf, "pf")
+  _assert_nets_close(qf_t, state.params["qf"],
+                     lambda p: _ref_qnet(p, ADIM), "qf")
+  _assert_nets_close(agent.target_pf, state.target_params["pf"],
+                     build_pf, "target_pf")
+  _assert_nets_close(agent.target_qf, state.target_params["qf"],
+                     lambda p: _ref_qnet(p, ADIM), "target_qf")
+
+
+def test_dqn_update_matches_real_reference():
+  """Three updates of the REAL torchrl DQN (dqn.py:38-66: gathered-Q MSE
+  against the max-target bootstrap, Adam, soft target updates) vs the
+  repo's DQNLearner.  Deterministic."""
+  from torchrl.algo import DQN as RefDQN
+
+  n_act = 4
+  qf_mod = DiscreteQNet(num_actions=n_act, hidden_shapes=(32, 32))
+  qf_params = qf_mod.init(jax.random.PRNGKey(33), jnp.zeros((1, OFF_OBS)))
+
+  def build_qf(p):
+    return _load_ref_net(
+        ref_networks.Net(output_shape=n_act, base_type=ref_networks.MLPBase,
+                         input_shape=OFF_OBS, hidden_shapes=[32, 32]),
+        p["params"])
+
+  qf_t = build_qf(qf_params)
+
+  class _EpsPf:
+    epsilon = 0.05
+
+  class _DiscEnv:
+    action_space = gymnasium.spaces.Discrete(n_act)
+
+  agent = RefDQN(
+      qf=qf_t, pf=_EpsPf(), qlr=_OFF_CFG.qlr, tau=_OFF_CFG.tau,
+      use_soft_update=True, env=_DiscEnv(), replay_buffer=None,
+      collector=_FakeCollector(OFF_B), logger=_NullLogger(),
+      discount=_OFF_CFG.discount, batch_size=OFF_B, num_epochs=10,
+      device="cpu", save_dir="/tmp/ref_golden")
+
+  learner = DQNLearner(_OFF_CFG, qf_mod.apply, mode="dqn")
+  state = learner.init_state(qf_params)
+  update = jax.jit(learner.update)
+  for i in range(3):
+    batch = _off_batch(50 + i, act_dim=n_act, discrete=True)
+    state, _ = update(state, batch, jax.random.PRNGKey(i))
+    agent.update(_np_batch(batch, discrete=True))
+
+  _assert_nets_close(qf_t, state.params["qf"], build_qf, "qf")
+  _assert_nets_close(agent.target_qf, state.target_params["qf"],
+                     build_qf, "target_qf")
+
+
+def test_td3_update_matches_real_reference():
+  """Four updates of the REAL torchrl TD3 (td3.py:57-154) vs the repo's
+  TD3Learner.  The target-smoothing noise is bridged by monkeypatching the
+  module-level Normal with the exact draws the repo makes
+  (clip(norm_std * N(0,1), +-noise_clip) from the update key), so the test
+  pins: twin-critic MSE, smoothed targets, the delay arithmetic
+  (training_update_num increments BEFORE the `% delay` truthiness check,
+  td3.py:58+124 — the first update steps the policy, the second skips),
+  and that target networks only move inside the delayed policy branch
+  (td3.py:143)."""
+  import torchrl.algo.off_policy.td3 as ref_td3_mod
+  from torchrl.algo import TD3 as RefTD3
+
+  pf_mod = DetTanhPolicy(action_dim=ADIM, hidden_shapes=(32, 32))
+  qf_mod = QNet(hidden_shapes=(32, 32))
+  pf_params = pf_mod.init(jax.random.PRNGKey(34), jnp.zeros((1, OFF_OBS)))
+  qf1_params = qf_mod.init(jax.random.PRNGKey(35), jnp.zeros((1, OFF_OBS)),
+                           jnp.zeros((1, ADIM)))
+  qf2_params = qf_mod.init(jax.random.PRNGKey(36), jnp.zeros((1, OFF_OBS)),
+                           jnp.zeros((1, ADIM)))
+
+  def build_pf(p):
+    return _load_ref_net(
+        ref_policies.DetContPolicy(
+            tanh_action=True, output_shape=ADIM,
+            base_type=ref_networks.MLPBase, input_shape=OFF_OBS,
+            hidden_shapes=[32, 32]), p["params"])
+
+  pf_t = build_pf(pf_params)
+  qf1_t, qf2_t = _ref_qnet(qf1_params, ADIM), _ref_qnet(qf2_params, ADIM)
+
+  agent = RefTD3(
+      pf=pf_t, qf1=qf1_t, qf2=qf2_t, plr=_OFF_CFG.plr, qlr=_OFF_CFG.qlr,
+      policy_update_delay=_OFF_CFG.policy_update_delay,
+      norm_std_policy=_OFF_CFG.norm_std_policy,
+      noise_clip=_OFF_CFG.noise_clip, tau=_OFF_CFG.tau,
+      use_soft_update=True, env=_FakeEnv(), replay_buffer=None,
+      collector=_FakeCollector(OFF_B), logger=_NullLogger(),
+      discount=_OFF_CFG.discount, batch_size=OFF_B, num_epochs=10,
+      device="cpu", save_dir="/tmp/ref_golden")
+
+  learner = TD3Learner(_OFF_CFG, pf_mod.apply, qf_mod.apply)
+  state = learner.init_state(pf_params, qf1_params, qf2_params)
+  update = jax.jit(learner.update)
+
+  class _FixedNoise:
+    queue = []
+
+    def __init__(self, loc, scale):
+      pass
+
+    def sample(self):
+      return _FixedNoise.queue.pop(0)
+
+  orig = ref_td3_mod.Normal
+  ref_td3_mod.Normal = _FixedNoise
+  try:
+    for i in range(4):
+      key = jax.random.PRNGKey(100 + i)
+      batch = _off_batch(60 + i)
+      # the repo draws raw N(0,1) * norm_std then clips; the reference's
+      # Normal(0, norm_std).sample() IS that pre-clip noise
+      eps = _OFF_CFG.norm_std_policy * jax.random.normal(
+          key, (OFF_B, ADIM))
+      _FixedNoise.queue.append(_t(eps))
+      state, _ = update(state, batch, key)
+      agent.update(_np_batch(batch))
+  finally:
+    ref_td3_mod.Normal = orig
+
+  _assert_nets_close(pf_t, state.params["pf"], build_pf, "pf")
+  for name, net in (("qf1", qf1_t), ("qf2", qf2_t)):
+    _assert_nets_close(net, state.params[name],
+                       lambda p: _ref_qnet(p, ADIM), name)
+  _assert_nets_close(agent.target_pf, state.target_params["pf"],
+                     build_pf, "target_pf")
+  for name, net in (("qf1", agent.target_qf1), ("qf2", agent.target_qf2)):
+    _assert_nets_close(net, state.target_params[name],
+                       lambda p: _ref_qnet(p, ADIM), "target_" + name)
+
+
+def test_twin_sac_q_update_matches_real_reference():
+  """Three updates of the REAL torchrl TwinSACQ (twin_sac_q.py:84-215:
+  tanh-Gaussian reparameterized actor, auto alpha tuned BEFORE the targets
+  use it, twin-min bootstrap minus alpha*logp, mean/logstd L2 regs, soft
+  target updates) vs the repo's TwinSACQLearner.  The two rsample draws per
+  update (policy on obs, no-grad target on next_obs) are bridged by
+  monkeypatching the distribution module's Normal so each standard-normal
+  draw comes from the exact keys the repo splits."""
+  import torchrl.policies.distribution as ref_dist_mod
+  from torchrl.algo import TwinSACQ as RefTwinSACQ
+
+  pf_mod = TanhGaussianPolicy(action_dim=ADIM, hidden_shapes=(32, 32))
+  qf_mod = QNet(hidden_shapes=(32, 32))
+  pf_params = pf_mod.init(jax.random.PRNGKey(37), jnp.zeros((1, OFF_OBS)))
+  qf1_params = qf_mod.init(jax.random.PRNGKey(38), jnp.zeros((1, OFF_OBS)),
+                           jnp.zeros((1, ADIM)))
+  qf2_params = qf_mod.init(jax.random.PRNGKey(39), jnp.zeros((1, OFF_OBS)),
+                           jnp.zeros((1, ADIM)))
+
+  def build_pf(p):
+    return _load_ref_net(
+        ref_policies.GaussianContPolicy(
+            tanh_action=True, output_shape=2 * ADIM,
+            base_type=ref_networks.MLPBase, input_shape=OFF_OBS,
+            hidden_shapes=[32, 32]), p["params"])
+
+  pf_t = build_pf(pf_params)
+  qf1_t, qf2_t = _ref_qnet(qf1_params, ADIM), _ref_qnet(qf2_params, ADIM)
+
+  agent = RefTwinSACQ(
+      pf=pf_t, qf1=qf1_t, qf2=qf2_t, plr=_OFF_CFG.plr, qlr=_OFF_CFG.qlr,
+      automatic_entropy_tuning=True, tau=_OFF_CFG.tau,
+      policy_std_reg_weight=_OFF_CFG.policy_std_reg_weight,
+      policy_mean_reg_weight=_OFF_CFG.policy_mean_reg_weight,
+      use_soft_update=True, env=_FakeEnv(), replay_buffer=None,
+      collector=_FakeCollector(OFF_B), logger=_NullLogger(),
+      discount=_OFF_CFG.discount, batch_size=OFF_B, num_epochs=10,
+      device="cpu", save_dir="/tmp/ref_golden")
+
+  learner = TwinSACQLearner(_OFF_CFG, pf_mod.apply, qf_mod.apply, ADIM)
+  state = learner.init_state(pf_params, qf1_params, qf2_params)
+  update = jax.jit(learner.update)
+
+  class _RoutedNormal:
+    """Standard-normal draws inside TanhNormal.rsample come from the
+    queue; every other Normal (the log-prob one) stays real."""
+    queue = []
+
+    def __new__(cls, loc, scale):
+      if (torch.is_tensor(loc) and torch.all(loc == 0)
+          and torch.all(scale == 1)):
+        inst = object.__new__(cls)
+        return inst
+      return torch.distributions.Normal(loc, scale)
+
+    def sample(self):
+      return _RoutedNormal.queue.pop(0)
+
+  orig = ref_dist_mod.Normal
+  ref_dist_mod.Normal = _RoutedNormal
+  try:
+    for i in range(3):
+      key = jax.random.PRNGKey(200 + i)
+      k1, k2 = jax.random.split(key)
+      batch = _off_batch(70 + i)
+      # explore(obs) draws first, the no-grad explore(next_obs) second
+      _RoutedNormal.queue.extend([
+          _t(jax.random.normal(k1, (OFF_B, ADIM))),
+          _t(jax.random.normal(k2, (OFF_B, ADIM)))])
+      state, _ = update(state, batch, key)
+      agent.update(_np_batch(batch))
+      assert not _RoutedNormal.queue, "reference drew fewer samples"
+  finally:
+    ref_dist_mod.Normal = orig
+
+  np.testing.assert_allclose(
+      float(state.extras["log_alpha"]), float(agent.log_alpha.item()),
+      atol=1e-5, err_msg="log_alpha diverged")
+  _assert_nets_close(pf_t, state.params["pf"], build_pf, "pf", atol=1e-4)
+  for name, net in (("qf1", qf1_t), ("qf2", qf2_t)):
+    _assert_nets_close(net, state.params[name],
+                       lambda p: _ref_qnet(p, ADIM), name, atol=1e-4)
+  for name, net in (("qf1", agent.target_qf1), ("qf2", agent.target_qf2)):
+    _assert_nets_close(net, state.target_params[name],
+                       lambda p: _ref_qnet(p, ADIM), "target_" + name,
+                       atol=1e-4)

@@ -63,16 +63,27 @@ def soft_update(target, online, tau):
 
 
 def maybe_update_targets(cfg: OffPolicyConfig, state: OffPolicyState,
-                         keys) -> OffPolicyState:
-  """Soft update every step or hard copy on a period (rl_algo.py:173-186)."""
+                         keys, gate=None) -> OffPolicyState:
+  """Soft update every step or hard copy on a period (rl_algo.py:173-186).
+
+  `gate` (traced bool) suppresses the update entirely when False — TD3
+  only touches its targets inside the delayed policy branch (td3.py:143).
+  """
   if cfg.use_soft_update:
     new_t = {k: soft_update(state.target_params[k], state.params[k], cfg.tau)
              for k in keys}
   else:
     do = (state.update_count % cfg.target_hard_update_period) == 0
+    if gate is not None:
+      do = do & gate
+      gate = None
     new_t = {k: jax.tree.map(
         lambda t, o: jnp.where(do, o, t), state.target_params[k],
         state.params[k]) for k in keys}
+  if gate is not None:
+    new_t = {k: jax.tree.map(
+        lambda n, t: jnp.where(gate, n, t), new_t[k],
+        state.target_params[k]) for k in keys}
   targets = dict(state.target_params)
   targets.update(new_t)
   return state.replace(target_params=targets)
@@ -236,21 +247,31 @@ class TD3Learner:
       up, opts[name] = self.qf_tx.update(grad, opts[name], params[name])
       params[name] = optax.apply_updates(params[name], up)
 
-    # delayed policy update (td3.py:128: every `policy_update_delay` steps)
-    do_pf = (state.update_count % cfg.policy_update_delay) != 0
+    # delayed policy update (td3.py:58+124: training_update_num increments
+    # BEFORE the `num % policy_update_delay` truthiness check, so the FIRST
+    # update steps the policy and every `delay`-th one skips it)
+    count = state.update_count + 1
+    do_pf = (count % cfg.policy_update_delay) != 0
 
     def pf_loss_fn(pf_params):
       a = self.apply_pf(pf_params, obs)
       return -self.apply_qf(params["qf1"], obs, a).mean()
 
     pf_loss, gp = jax.value_and_grad(pf_loss_fn)(params["pf"])
-    gp = jax.tree.map(lambda g: g * do_pf, gp)
-    up, opts["pf"] = self.pf_tx.update(gp, opts["pf"], params["pf"])
-    params["pf"] = optax.apply_updates(params["pf"], up)
+    # a zeroed gradient still advances Adam's moments, which the reference's
+    # skipped optimizer step does not — suppress the whole update instead
+    up, pf_opt = self.pf_tx.update(
+        jax.tree.map(lambda g: g * do_pf, gp), opts["pf"], params["pf"])
+    opts["pf"] = jax.tree.map(lambda n, o: jnp.where(do_pf, n, o),
+                              pf_opt, opts["pf"])
+    params["pf"] = jax.tree.map(
+        lambda p, u: jnp.where(do_pf, p + u, p), params["pf"], up)
 
     state = state.replace(params=params, opt_states=opts,
-                          update_count=state.update_count + 1)
-    state = maybe_update_targets(cfg, state, ("pf", "qf1", "qf2"))
+                          update_count=count)
+    # targets only move when the policy stepped (td3.py:143)
+    state = maybe_update_targets(cfg, state, ("pf", "qf1", "qf2"),
+                                 gate=do_pf)
     return state, {
         "Training/policy_loss": pf_loss,
         "Training/qf1_loss": q1_loss,
