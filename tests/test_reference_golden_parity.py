@@ -1227,3 +1227,118 @@ def test_twin_sac_q_update_matches_real_reference():
     _assert_nets_close(net, state.target_params[name],
                        lambda p: _ref_qnet(p, ADIM), "target_" + name,
                        atol=1e-4)
+
+
+def test_reinforce_update_matches_real_reference():
+  """One epoch of the REAL torchrl Reinforce (reinforce.py:34-76: gae=False
+  discounted-return path through the real buffer, per-minibatch advantage
+  normalization, -logp*adv - 0.001*ent, Adam with torch's DEFAULT eps=1e-8
+  — unlike A2C/PPO it never passes eps — and grad clip 0.5, NO lr
+  schedule, vf pinned to ZeroNet so last_value == 0) vs the repo's
+  ReinforceLearner."""
+  from torchrl.algo import Reinforce as RefReinforce
+  from vision4leg_tpu.algo.a2c import A2CConfig, ReinforceLearner
+
+  obs_dim = 9
+  cfg = A2CConfig(plr=1e-3, entropy_coeff=0.001, discount=0.99,
+                  batch_size=4, epoch_frames=8, max_episode_frames=999,
+                  num_epochs=100, shuffle=False, adam_eps=1e-8)
+
+  module = StateActorCritic(action_dim=ADIM, hidden_shapes=(64, 64),
+                            append_hidden_shapes=(32, 32))
+  params = module.init(jax.random.PRNGKey(44), jnp.zeros((1, obs_dim)))
+  pf, _vf = _build_ref_state_pair(params, obs_dim)
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  learner = ReinforceLearner(cfg, apply_pi, apply_v, params)
+  ts = learner.init_state(params)
+  T, E, traj, _, buf = _synthetic_epoch(
+      obs_dim, module, params, apply_pi, apply_v, seed=45)
+  # the reference's vf is ZeroNet (reinforce.py:22) -> bootstrap from 0
+  zero_last = jnp.zeros((E,))
+
+  new_ts, _ = jax.jit(learner.update_per_epoch)(ts, traj, zero_last,
+                                                jax.random.PRNGKey(0))
+
+  agent = RefReinforce(
+      pf=pf, plr=cfg.plr, entropy_coeff=cfg.entropy_coeff,
+      shuffle=False, env=_FakeEnv(), replay_buffer=buf,
+      collector=_FakeCollector(T * E), logger=_NullLogger(),
+      discount=cfg.discount, batch_size=cfg.batch_size,
+      num_epochs=cfg.num_epochs, device="cpu", save_dir="/tmp/ref_golden")
+  agent.current_epoch = 0
+  agent.gae = False
+  agent.update_per_epoch()
+
+  pf_new, _ = _build_ref_state_pair(new_ts.params, obs_dim)
+  sa, sb = pf.state_dict(), pf_new.state_dict()
+  for k in sa:
+    np.testing.assert_allclose(
+        sb[k].numpy(), sa[k].numpy(), atol=2e-5,
+        err_msg=f"pf:{k} diverged from the real reference Reinforce update")
+
+
+def test_vmpo_update_matches_real_reference():
+  """One epoch of the REAL torchrl VMPO (v_mpo.py:44-184: per-epoch target
+  copy, critic-then-actor per minibatch, top-half advantage filter via
+  descending sort, softmax(adv/eta) weights, learnable eta/alpha duals on
+  a joint Adam(eps=1e-5) step with min-1e-8 clamps, KL(new||target)
+  penalty, grad clip 0.5 on pf only, NO lr schedule) vs the repo's
+  VMPOLearner over 2 opt epochs."""
+  from torchrl.algo import VMPO as RefVMPO
+  from vision4leg_tpu.algo.vmpo import VMPOConfig, VMPOLearner
+
+  obs_dim = 9
+  cfg = VMPOConfig(plr=1e-3, vlr=1e-3, discount=0.99, tau=0.95,
+                   batch_size=8, epoch_frames=8, max_episode_frames=999,
+                   num_epochs=100, shuffle=False, opt_epochs=2,
+                   eta_eps=0.02, alpha_eps=0.1)
+
+  module = StateActorCritic(action_dim=ADIM, hidden_shapes=(64, 64),
+                            append_hidden_shapes=(32, 32))
+  params = module.init(jax.random.PRNGKey(46), jnp.zeros((1, obs_dim)))
+  pf, vf = _build_ref_state_pair(params, obs_dim)
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  learner = VMPOLearner(cfg, apply_pi, apply_v, params)
+  ts = learner.init_state(params)
+  T, E, traj, last_value, buf = _synthetic_epoch(
+      obs_dim, module, params, apply_pi, apply_v, seed=47)
+
+  new_ts, _ = jax.jit(learner.update_per_epoch)(ts, traj, last_value,
+                                                jax.random.PRNGKey(0))
+
+  agent = RefVMPO(
+      pf=pf, vf=vf, plr=cfg.plr, vlr=cfg.vlr, opt_epochs=cfg.opt_epochs,
+      eta_eps=cfg.eta_eps, alpha_eps=cfg.alpha_eps,
+      entropy_coeff=0.001, tau=cfg.tau, gae=True, shuffle=False,
+      env=_FakeEnv(), replay_buffer=buf, collector=_FakeCollector(T * E),
+      logger=_NullLogger(), discount=cfg.discount,
+      batch_size=cfg.batch_size, num_epochs=cfg.num_epochs, device="cpu",
+      save_dir="/tmp/ref_golden")
+  agent.current_epoch = 0
+  agent.update_per_epoch()
+
+  np.testing.assert_allclose(float(new_ts.extras["duals"]["eta"]),
+                             float(agent.eta.item()), atol=1e-5,
+                             err_msg="eta dual diverged")
+  np.testing.assert_allclose(float(new_ts.extras["duals"]["alpha"]),
+                             float(agent.alpha.item()), atol=1e-5,
+                             err_msg="alpha dual diverged")
+  pf_new, vf_new = _build_ref_state_pair(new_ts.params, obs_dim)
+  for (a, b, what) in [(pf, pf_new, "pf"), (vf, vf_new, "vf")]:
+    sa, sb = a.state_dict(), b.state_dict()
+    for k in sa:
+      np.testing.assert_allclose(
+          sb[k].numpy(), sa[k].numpy(), atol=2e-4,
+          err_msg=f"{what}:{k} diverged from the real reference VMPO update")

@@ -63,18 +63,28 @@ class A2CLearner(OnPolicyLearner):
 
 
 class ReinforceLearner(OnPolicyLearner):
-  """Vanilla policy gradient (reference: reinforce.py:7-82): -logp * return,
-  no critic baseline in the loss (vf still trained for GAE baselines)."""
+  """Vanilla policy gradient (reference: reinforce.py:7-82): -logp * adv
+  with per-minibatch advantage normalization (reinforce.py:57), where adv
+  is the discounted return minus the collected values (the reference pins
+  vf to ZeroNet, reinforce.py:22, so adv == return there).  The reference
+  forces gae=False (reinforce.py:32) and — like A2C — inherits the
+  schedule-free OnRLAlgo.update_per_epoch, so there is no lr decay; both
+  are forced here to match."""
+
+  def __init__(self, cfg, apply_pi, apply_v, params):
+    cfg = dataclasses.replace(cfg, gae=False, lr_decay=False)
+    super().__init__(cfg, apply_pi, apply_v, params)
 
   def _minibatch_update(self, ts: TrainState, batch):
     cfg = self.cfg
     obs, acts, advs, est_rets, _, _, _, _ = batch
+    advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-5)
 
     def pf_loss_fn(params):
       mean, std, _ = self.apply_pi(params, obs)
       log_prob = normal_log_prob(mean, std, acts)
       ent = normal_entropy(std)
-      return (jnp.mean(-log_prob * est_rets)
+      return (jnp.mean(-log_prob * advs)
               - cfg.entropy_coeff * ent.mean())
 
     pf_loss, pf_grads = jax.value_and_grad(pf_loss_fn)(ts.params)
