@@ -79,9 +79,9 @@ def test_vision_only_pi_v_matches_pi_and_v():
                                atol=2e-5, rtol=1e-4)
 
 def test_fused_layer_gradients_match_autodiff():
-  """fused_transformer_layer_ad (custom_vjp: Pallas fwd + fused Pallas
-  bwd on TPU, identical XLA math off-TPU) must produce the same (dx, dw)
-  as plain jax.grad through the flax layer math."""
+  """fused_transformer_layer_ad (custom_vjp: Pallas fwd on TPU + XLA
+  bwd; identical XLA math everywhere off-TPU) must produce the same
+  (dx, dw) as plain jax.grad through the flax layer math."""
   from vision4leg_tpu.ops.attention import (_layer_math,
                                             fused_transformer_layer_ad)
 

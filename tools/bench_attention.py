@@ -30,14 +30,22 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "runs", "attention_bench.json")
 
 
-def _time(fn, *args, n=50):
+def _time(fn, *args, n=50, repeats=3):
+  """Min-of-`repeats` timed loops: per-dispatch RPC latency over the
+  axon tunnel is ~100 us-scale and bursty, which swamped single-loop
+  measurements of these ~30-100 us kernels (adjacent runs disagreed
+  3-4x on the same shape); the min over several loops is the stable
+  uncontended estimate."""
   out = fn(*args)
   jax.block_until_ready(out)
-  t0 = time.time()
-  for _ in range(n):
-    out = fn(*args)
-  jax.block_until_ready(out)
-  return (time.time() - t0) / n
+  best = float("inf")
+  for _ in range(repeats):
+    t0 = time.time()
+    for _ in range(n):
+      out = fn(*args)
+    jax.block_until_ready(out)
+    best = min(best, (time.time() - t0) / n)
+  return best
 
 
 def main():
@@ -133,13 +141,25 @@ def main():
   err = max(float(_np.max(_np.abs(_np.asarray(a) - _np.asarray(b))))
             for a, b in zip(jax.tree_util.tree_leaves(ga),
                             jax.tree_util.tree_leaves(gf)))
+  # absolute error alone is misleading at B=1024: weight grads sum over
+  # B*T = 17408 samples on the MXU, whose DEFAULT precision on TPU is
+  # bf16 inputs + f32 accumulation for BOTH paths, so O(1e-2) absolute
+  # disagreement on O(1e2..1e3) gradients is bf16 rounding, not a wrong
+  # VJP — report the relative error as the verdict
+  rel = max(
+      float(_np.max(_np.abs(_np.asarray(a) - _np.asarray(b))) /
+            (_np.max(_np.abs(_np.asarray(b))) + 1e-12))
+      for a, b in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gf)))
   pallas_grad_t = _time(grad_ad, params, x)
   results["update_path"]["pallas_fwd_bwd_us"] = round(pallas_grad_t * 1e6, 1)
   results["update_path"]["pallas_vs_flax_bwd_speedup"] = round(
       grad_t / pallas_grad_t, 2)
   results["update_path"]["grad_parity_max_abs_err"] = err
+  results["update_path"]["grad_parity_max_rel_err"] = rel
   print(f"pallas custom_vjp fwd+bwd {pallas_grad_t*1e6:.0f} us "
-        f"(x{grad_t/pallas_grad_t:.2f} vs flax), grad parity {err:.2e}")
+        f"(x{grad_t/pallas_grad_t:.2f} vs flax), grad parity abs {err:.2e} "
+        f"rel {rel:.2e}")
 
   with open(OUT, "w") as f:
     json.dump(results, f, indent=2)

@@ -138,13 +138,18 @@ class PPOAgent:
     params = ac_module.init(k_init, dummy_obs)
 
     # Fused Pallas attention for the no-gradient collection forward:
-    # measured 1.45x vs the flax layer at rollout shapes (v5e,
-    # runs/attention_bench.json); default on for TPU backends.  pi_v
-    # (rollout inference) opts in; the learner's apply_pi/apply_v
-    # closures additionally opt in under V4L_FUSED_UPDATE=1 now that the
-    # layer is differentiable (custom_vjp with a fused Pallas backward,
-    # ops/attention.py) — off by default pending an idle-chip update-
-    # path measurement (tools/bench_attention.py "update_path").
+    # measured 2.45x vs the flax layer at the shipped rollout shape
+    # (v5e, runs/attention_bench.json); default on for TPU backends.
+    # pi_v (rollout inference) opts in.  The learner's apply_pi/apply_v
+    # closures can additionally opt in under V4L_FUSED_UPDATE=1, but the
+    # round-3 idle-chip measurement closed this as a net loss and it
+    # stays OFF: the custom_vjp backward is a recompute-based XLA VJP
+    # (the fused Pallas backward was measured 0.09x and retired — see
+    # ops/attention.py fused_transformer_layer_ad), so opting in trades
+    # a ~30 us/layer forward saving for a full forward recompute in the
+    # backward; the Amdahl ceiling (~20 ms attention grads inside a
+    # 50 ms update phase of a 330 ms epoch) is ~6% even at infinite
+    # backward speed.
     if fused_attention is None:
       fused_attention = jax.default_backend() in ("tpu", "axon")
     self.fused_attention = fused_attention

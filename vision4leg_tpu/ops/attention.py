@@ -17,19 +17,19 @@ are validated against the flax TransformerEncoderLayer in
 tests/test_pallas.py; `fused_transformer_layer` falls back to pure XLA on
 non-TPU backends.
 
-MEASURED (round 2, v5e, tools/bench_attention.py -> runs/
-attention_bench.json, uncontended chip): at the shipped rollout shape
-(B=1024, T=17, D=64, FF=256) this kernel runs in 27.6 us vs 40.1 us for
-the jitted flax layer — 1.45x (B=512: 1.43x; D=256 loses at small batch,
-0.38x @ B=512).  An earlier contended measurement (training job sharing
-the chip) showed the opposite at ~10x the absolute time; benchmark this
-on an idle chip.  WIRED: TransformerEncoderLayer(fused=True) routes
+MEASURED (round 3, v5e, tools/bench_attention.py -> runs/
+attention_bench.json, idle chip, min-of-3 timing loops — single-loop
+timings over the axon tunnel carry ~100 us-scale dispatch noise and
+misled two earlier measurements): the fused layer beats the jitted flax
+layer at every benchmarked shape — 20.2 us vs 49.6 us (2.45x) at the
+shipped rollout shape (B=1024, T=17, D=64, FF=256); 1.45x @ B=512 D=64;
+1.24x/2.47x @ D=256.  WIRED: TransformerEncoderLayer(fused=True) routes
 here, and the rollout's pi_v opts in on TPU backends
-(algo/agent.py apply_pi_v) — inference only, since the kernel has no
-VJP; the PPO update keeps the flax path.  End-to-end impact is bounded
-by Amdahl: the two layers are a small slice of the policy forward
-(pi_v @1024 = 385 us total; convs dominate), which itself shares the
-rollout with physics+raycast.
+(algo/agent.py apply_pi_v).  The PPO update keeps the flax path — see
+fused_transformer_layer_ad below for the measured reason.  End-to-end
+impact is bounded by Amdahl: the two layers are a small slice of the
+policy forward (pi_v @1024 = 124 us total; convs dominate), which
+itself shares the rollout with physics+raycast.
 """
 from __future__ import annotations
 
@@ -140,84 +140,34 @@ def fused_transformer_layer(x: jnp.ndarray, w: LayerWeights) -> jnp.ndarray:
 
 def _bwd_math(x, w: LayerWeights, g, T: int, D: int):
   """VJP of _layer_math w.r.t. (x, w) — the exact XLA backward of the
-  shared forward math.  Used both as the off-TPU fallback and, traced
-  per-tile, inside the Pallas backward kernel."""
+  shared forward math (recompute-based: no residuals are saved)."""
   _, vjp = jax.vjp(lambda x_, w_: _layer_math(x_, w_, T, D), x, w)
   return vjp(g)
 
 
-def _bwd_kernel(x_ref, g_ref, *refs):
-  """Backward tile: dx for this tile + accumulate dw across the grid.
-
-  TPU grid steps run sequentially on the core (dimension_semantics
-  'arbitrary'), so the weight-grad outputs — whose index_map pins every
-  grid step to the same block — act as an accumulator: step 0 writes its
-  tile's contribution, later steps add theirs."""
-  w = LayerWeights(*[r[:] for r in refs[:16]])
-  dx_ref = refs[16]
-  dw_refs = refs[17:]
-  tb, T, D = x_ref.shape
-  dx, dw = _bwd_math(x_ref[:], w, g_ref[:], T, D)
-  dx_ref[:] = dx.astype(dx_ref.dtype)
-  i = pl.program_id(0)
-
-  @pl.when(i == 0)
-  def _init():
-    for r, d in zip(dw_refs, dw):
-      r[:] = d.astype(jnp.float32).reshape(r.shape)
-
-  @pl.when(i != 0)
-  def _acc():
-    for r, d in zip(dw_refs, dw):
-      r[:] = r[:] + d.astype(jnp.float32).reshape(r.shape)
-
-
-def _fused_layer_bwd(x: jnp.ndarray, w: LayerWeights, g: jnp.ndarray):
-  """(dx, dw) of the fused layer.  Pallas on TPU at tile-aligned batch
-  (one fused kernel: recompute-fwd + full backward per tile, dw
-  accumulated across tiles); identical XLA math otherwise."""
-  B, T, D = x.shape
-  if (not HAS_PALLAS or jax.default_backend() not in ("tpu", "axon")
-      or B % TILE_B != 0 or x.dtype != jnp.float32):
-    return _bwd_math(x, w, g, T, D)
-
-  grid = (B // TILE_B,)
-  w_specs = [pl.BlockSpec(f.shape, lambda i, nd=f.ndim: (0,) * nd,
-                          memory_space=pltpu.VMEM) for f in w]
-  # biases/LN vectors as (1, D) blocks: 2-D stores are the safe Mosaic
-  # shape for accumulator outputs; reshaped back below
-  dw_shapes = [f.shape if f.ndim > 1 else (1, f.shape[0]) for f in w]
-  dw_specs = [pl.BlockSpec(s, lambda i, nd=len(s): (0,) * nd,
-                           memory_space=pltpu.VMEM) for s in dw_shapes]
-  x_spec = pl.BlockSpec((TILE_B, T, D), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-  out = pl.pallas_call(
-      _bwd_kernel,
-      grid=grid,
-      in_specs=[x_spec, x_spec] + w_specs,
-      out_specs=[x_spec] + dw_specs,
-      out_shape=([jax.ShapeDtypeStruct((B, T, D), x.dtype)] +
-                 [jax.ShapeDtypeStruct(s, jnp.float32) for s in dw_shapes]),
-      compiler_params=pltpu.CompilerParams(
-          dimension_semantics=("arbitrary",)),
-  )(x, g, *w)
-  dx = out[0]
-  dw = LayerWeights(*[d.reshape(f.shape).astype(f.dtype)
-                      for d, f in zip(out[1:], w)])
-  return dx, dw
-
-
 @jax.custom_vjp
 def fused_transformer_layer_ad(x: jnp.ndarray, w: LayerWeights):
-  """Differentiable fused layer: Pallas forward AND Pallas backward.
+  """Differentiable fused layer: Pallas forward, XLA backward.
 
   `fused_transformer_layer` alone has no VJP (jax.grad through it fails
   on TPU), which is why the PPO update kept the flax path through round
-  2 (VERDICT r2 weak #7).  This wrapper closes that: forward is the same
-  fused kernel; backward is one fused Pallas kernel per layer
-  (recompute-forward + full VJP per 64-sample tile, weight grads
-  accumulated across tiles in VMEM).  Gradient parity vs jax.grad of the
-  XLA math is pinned in tests/test_pallas.py."""
+  2 (VERDICT r2 weak #7).  This wrapper makes the fused forward usable
+  under jax.grad; the backward is the XLA VJP of the identical layer
+  math.  A fused Pallas BACKWARD kernel was built and measured in round
+  3 and retired (commit c5b88db, then removed): per-tile it must
+  rematerialize the whole layer's intermediate stack (~5x the forward's
+  footprint, forcing TILE_B 64->32 to fit Mosaic's 16 MiB scoped vmem),
+  which made it 0.09x the XLA backward at the update-minibatch shape
+  (1183 us vs 104 us fwd+bwd, B=1024 T=17 D=64, idle v5e,
+  runs/attention_bench.json).  The backward has no fusion headroom
+  anyway: XLA already fuses the bwd elementwise chains into its
+  matmuls, and the Amdahl ceiling is tiny — attention grads cost ~20 ms
+  per PPO epoch inside a 50 ms update phase of a 330 ms epoch (~6%), so
+  even an infinitely fast backward cannot move the headline number.
+  Gradient parity of THIS wrapper vs jax.grad of the flax layer is
+  pinned at 3e-5 in tests/test_pallas.py (CPU, f32 everywhere); on the
+  TPU itself the two paths agree to ~5e-2 relative — bf16 MXU default
+  precision under different fusion/reduction orders, not a VJP error."""
   return fused_transformer_layer(x, w)
 
 
@@ -227,7 +177,8 @@ def _ad_fwd(x, w):
 
 def _ad_bwd(res, g):
   x, w = res
-  return _fused_layer_bwd(x, w, g)
+  B, T, D = x.shape
+  return _bwd_math(x, w, g, T, D)
 
 
 fused_transformer_layer_ad.defvjp(_ad_fwd, _ad_bwd)
