@@ -181,6 +181,32 @@ def _rand_obs(key, shape):
 # ---------------------------------------------------------------------------
 # forward parity
 # ---------------------------------------------------------------------------
+def test_export_twin_matches_reference_policy():
+  """Deployment export twin vs the REAL reference policy (VERDICT r2:
+  export parity was previously only flax <-> builder-written twin, so a
+  shared misreading of the reference could pass).  Transplant one set
+  of flax params BOTH into the reference's own
+  GaussianContPolicyLocoTransformer (continuous_policy.py:478) and into
+  the export twin (hardware/export.py flax_to_torch_policy, the ONNX
+  deployment path) and assert the two torch networks produce the same
+  mean action."""
+  from vision4leg_tpu.hardware.export import flax_to_torch_policy
+
+  module, params = _flax_loco()
+  pf, _ = _build_ref_loco_pair(params)
+  pf.eval()
+  twin = flax_to_torch_policy(module, params)
+  twin.eval()
+
+  obs_t = torch.tensor(np.asarray(_rand_obs(jax.random.PRNGKey(7),
+                                            (5, OBS_DIM))))
+  with torch.no_grad():
+    mean_ref, _, _ = pf(obs_t)
+    mean_twin = twin(obs_t)
+  np.testing.assert_allclose(mean_twin.numpy(), mean_ref.numpy(),
+                             atol=2e-4, rtol=1e-3)
+
+
 def test_locotransformer_forward_matches_reference():
   module, params = _flax_loco()
   pf, vf = _build_ref_loco_pair(params)
