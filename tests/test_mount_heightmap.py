@@ -80,3 +80,20 @@ def test_mount_is_fixed_world():
   a = terrain.gen_mount(jax.random.PRNGKey(0)).height
   b = terrain.gen_mount(jax.random.PRNGKey(123)).height
   np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_committed_asset_matches_png_decode():
+  """The in-repo mount_hf.npz (what a standalone checkout loads) must be
+  bit-identical to decoding the reference PNG — regenerate with
+  tools/gen_mount_asset.py if the decode convention changes."""
+  import os.path as osp
+  npz = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                 "vision4leg_tpu", "assets", "mount_hf.npz")
+  d = np.load(npz)
+  want = terrain.decode_mount_png(PNG).astype(np.float32)
+  np.testing.assert_array_equal(d["height"], want)
+  np.testing.assert_allclose(float(d["cell"]), terrain._MOUNT_CELL)
+  np.testing.assert_allclose(
+      float(d["origin"]),
+      2.0 + (terrain._MOUNT_CROP_I0 - 255.5) * terrain._MOUNT_CELL,
+      rtol=1e-6)

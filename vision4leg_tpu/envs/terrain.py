@@ -22,13 +22,19 @@ Reference geometry reproduced (file:line into a1_randomizer_ground.py):
   * stairs: 7 overlapping slabs (half 2 x 25 x 0.2) at x = 2.75 + 0.44k,
     rising 0.1 m per step then descending (`_generate_stairs` :656-700).
   * subgoals: 50 spheres r=0.2 at U([2,-2.2],[30,2.2]) (:1076-1140).
-  * hill/mount: the reference loads fixed heightmap image assets; here they
-    are procedurally generated gaussian landscapes with matching scale
-    (hill: 0.2 z-scale at [1,0,2]; mount: a single peak the robot climbs).
+  * mount: the reference's REAL wm_height_out.png geometry (:1011-1024),
+    decoded once into the committed asset vision4leg_tpu/assets/
+    mount_hf.npz (256x256 crop, 0.1 m cells, PyBullet vertical centering;
+    see gen_mount / tools/gen_mount_asset.py).
+  * hill: the reference's ground0.txt lives inside pybullet_data (not
+    shipped with the reference, unavailable offline), so the hill is a
+    procedurally generated gaussian landscape recalibrated to the
+    reference's 0.2 z-scale (see gen_hill's amplitude-calibration note).
 
-Poisson-disc sampling (PoissonDisc2D :69-242) is replaced by stratified
-jittered-grid sampling — the same blue-noise intent, expressible with
-static shapes inside jit.
+Poisson-disc sampling (PoissonDisc2D :69-242): the reference's pairwise
+minimum-distance guarantee is reproduced with fixed-shape random
+sequential adsorption inside jit (`_min_dist_points`); plain stratified
+jittered-grid sampling remains only as the overflow fallback.
 """
 from __future__ import annotations
 
@@ -444,23 +450,50 @@ MOUNT_GOAL_POS = (4.0, 11.5, 3.5)
 _mount_grid_cache = None
 
 
+def decode_mount_png(png_path: str = _MOUNT_PNG) -> np.ndarray:
+  """Decode the reference's wm_height_out.png into the repo's mount grid
+  (the generator behind assets/mount_hf.npz — tools/gen_mount_asset.py
+  re-runs this against a reference checkout to regenerate the asset)."""
+  from PIL import Image
+  a = np.asarray(Image.open(png_path), dtype=np.float32)
+  scale = 15.0 / 256.0
+  z_center = (float(a.min()) + float(a.max())) * 0.5 * scale
+  # a[row, col] = a[y_idx, x_idx]; repo grids index [x_idx, y_idx]
+  full = a.T * scale - z_center + 2.0
+  i0 = _MOUNT_CROP_I0
+  return np.ascontiguousarray(full[i0:i0 + _MOUNT_N, i0:i0 + _MOUNT_N])
+
+
 def _load_mount_grid():
-  """Decode the reference heightmap once; False when the asset or PIL is
-  unavailable (standalone checkouts fall back to the procedural mount)."""
+  """The decoded reference mount grid, loaded once.
+
+  Order: (1) the committed asset vision4leg_tpu/assets/mount_hf.npz —
+  present in a standalone checkout, so this is the path that runs
+  everywhere; (2) decoding the reference PNG directly (a checkout that
+  predates the asset but sits next to /root/reference); (3) False — the
+  caller falls back to the procedural stand-in, LOUDLY, because every
+  mount result in README/PARITY was earned on the real geometry."""
   global _mount_grid_cache
   if _mount_grid_cache is None:
+    import os.path as osp
+    npz = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                   "assets", "mount_hf.npz")
     try:
-      from PIL import Image
-      a = np.asarray(Image.open(_MOUNT_PNG), dtype=np.float32)
-      scale = 15.0 / 256.0
-      z_center = (float(a.min()) + float(a.max())) * 0.5 * scale
-      # a[row, col] = a[y_idx, x_idx]; repo grids index [x_idx, y_idx]
-      full = a.T * scale - z_center + 2.0
-      i0 = _MOUNT_CROP_I0
       _mount_grid_cache = np.ascontiguousarray(
-          full[i0:i0 + _MOUNT_N, i0:i0 + _MOUNT_N])
+          np.load(npz)["height"].astype(np.float32))
     except Exception:
-      _mount_grid_cache = False
+      try:
+        _mount_grid_cache = decode_mount_png()
+      except Exception:
+        import warnings
+        warnings.warn(
+            "mount heightmap asset missing (vision4leg_tpu/assets/"
+            "mount_hf.npz) and the reference PNG is unreachable — "
+            "falling back to the PROCEDURAL mount stand-in, which is NOT "
+            "the geometry the committed mount results were trained on. "
+            "Regenerate the asset with tools/gen_mount_asset.py.",
+            stacklevel=2)
+        _mount_grid_cache = False
   return _mount_grid_cache
 
 
