@@ -38,12 +38,25 @@ from vision4leg_tpu.utils.args import get_args, get_params
 from vision4leg_tpu.utils.logger import Logger
 
 
-def run_experiment(build_module):
-  """build_module(env, params) -> flax actor-critic module."""
+def run_experiment(build_module, eval_params_transform=None):
+  """build_module(env, params) -> flax actor-critic module.
+
+  eval_params_transform(env_params) -> env_params: when given, evaluation
+  runs on a SEPARATE env built from the transformed copy of params["env"]
+  (sim-to-sim transfer, reference ppo_nature_cnn_sim2sim.py:43-60); the
+  train env's obs normalizer is shared, as in the reference.
+  """
   args = get_args()
   params = get_params(args.config)
 
   env, meta = get_env(params["env_name"], params["env"])
+
+  eval_env = eval_horizon = None
+  if eval_params_transform is not None:
+    import copy
+    eval_env_params = eval_params_transform(copy.deepcopy(params["env"]))
+    eval_env, eval_meta = get_env(params["env_name"], eval_env_params)
+    eval_horizon = eval_meta["horizon"]
 
   num_envs = args.num_envs or max(args.vec_env_nums, 1)
 
@@ -125,6 +138,7 @@ def run_experiment(build_module):
       obs_norm=meta["obs_norm"],
       env_time_limit=meta["horizon"],
       reward_scale=meta["reward_scale"],
+      eval_env=eval_env, eval_horizon=eval_horizon,
   )
   agent.train(resume=args.resume)
   return agent

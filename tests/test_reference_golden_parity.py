@@ -941,7 +941,7 @@ def test_trpo_update_matches_real_reference():
 from vision4leg_tpu.algo.off_policy.learners import (  # noqa: E402
     DDPGLearner, DQNLearner, OffPolicyConfig, TD3Learner, TwinSACQLearner)
 from vision4leg_tpu.models.off_policy_nets import (  # noqa: E402
-    DetTanhPolicy, DiscreteQNet, QNet, TanhGaussianPolicy)
+    BootstrappedQNet, DetTanhPolicy, DiscreteQNet, QNet, TanhGaussianPolicy)
 
 OFF_OBS, OFF_B = 11, 6
 _OFF_CFG = OffPolicyConfig(plr=1e-3, qlr=1e-3, discount=0.99,
@@ -1368,3 +1368,522 @@ def test_vmpo_update_matches_real_reference():
       np.testing.assert_allclose(
           sb[k].numpy(), sa[k].numpy(), atol=2e-4,
           err_msg=f"{what}:{k} diverged from the real reference VMPO update")
+
+
+# ---------------------------------------------------------------------------
+# round-4 tail: SAC / TwinSAC (V-network variants), QRDQN, BootstrappedDQN,
+# PPOAux — the last exported learners without reference-pinned updates
+# ---------------------------------------------------------------------------
+from vision4leg_tpu.algo.off_policy.learners import SACLearner  # noqa: E402
+
+
+def _import_noassert(relpath, name):
+  """Exec a reference module with `assert` statements stripped
+  (compile(..., optimize=1)).  Needed because sac.py:132 / twin_sac.py:143
+  contain `assert v_target == v_pred` — an ELEMENTWISE tensor comparison
+  under `assert`, which raises RuntimeError for every batch size > 1
+  (pinned by test_sac_reference_update_is_uncallable below).  Everything
+  executed is still the reference's own code."""
+  import types
+  path = os.path.join(REF, relpath)
+  with open(path) as f:
+    src = f.read()
+  code = compile(src, path, "exec", optimize=1)
+  mod = types.ModuleType(name)
+  mod.__package__ = "torchrl.algo.off_policy"
+  mod.__file__ = path
+  exec(code, mod.__dict__)
+  return mod
+
+
+def _sac_modules(seed):
+  """Repo pf/qf(/qf2)/vf modules + params for the V-network SAC family."""
+  pf_mod = TanhGaussianPolicy(action_dim=ADIM, hidden_shapes=(32, 32))
+  qf_mod = QNet(hidden_shapes=(32, 32))
+  vf_mod = DiscreteQNet(num_actions=1, hidden_shapes=(32, 32))
+  k = jax.random.PRNGKey(seed)
+  pf_p = pf_mod.init(k, jnp.zeros((1, OFF_OBS)))
+  qf_p = qf_mod.init(jax.random.fold_in(k, 1), jnp.zeros((1, OFF_OBS)),
+                     jnp.zeros((1, ADIM)))
+  qf2_p = qf_mod.init(jax.random.fold_in(k, 2), jnp.zeros((1, OFF_OBS)),
+                      jnp.zeros((1, ADIM)))
+  vf_p = vf_mod.init(jax.random.fold_in(k, 3), jnp.zeros((1, OFF_OBS)))
+  return pf_mod, qf_mod, vf_mod, pf_p, qf_p, qf2_p, vf_p
+
+
+def _build_sac_pf(p):
+  return _load_ref_net(
+      ref_policies.GaussianContPolicy(
+          tanh_action=True, output_shape=2 * ADIM,
+          base_type=ref_networks.MLPBase, input_shape=OFF_OBS,
+          hidden_shapes=[32, 32]), p["params"])
+
+
+def _ref_vnet(params):
+  return _load_ref_net(
+      ref_networks.Net(output_shape=1, base_type=ref_networks.MLPBase,
+                       input_shape=OFF_OBS, hidden_shapes=[32, 32]),
+      params["params"])
+
+
+def test_sac_reference_update_is_uncallable():
+  """DISCOVERED while extending golden coverage: the reference's original
+  SAC (and TwinSAC) can never run an update — sac.py:132 / twin_sac.py:143
+  read `assert v_target == v_pred`, an elementwise comparison of two
+  (B, 1) tensors whose truth value torch refuses to define for B > 1
+  (and which would be trivially false at B == 1).  Like the A2C
+  shared-trunk crash and the BootstrappedNet ctor, this is shipped dead
+  code; the parity tests below drive the same module with the broken
+  asserts compiled out."""
+  from torchrl.algo import SAC as RefSAC
+
+  _, _, _, pf_p, qf_p, _, vf_p = _sac_modules(101)
+  agent = RefSAC(
+      pf=_build_sac_pf(pf_p), qf=_ref_qnet(qf_p, ADIM),
+      vf=_ref_vnet(vf_p), plr=1e-3, vlr=1e-3, qlr=1e-3,
+      automatic_entropy_tuning=True, tau=0.01, use_soft_update=True,
+      env=_FakeEnv(), replay_buffer=None, collector=_FakeCollector(OFF_B),
+      logger=_NullLogger(), discount=0.99, batch_size=OFF_B,
+      num_epochs=10, device="cpu", save_dir="/tmp/ref_golden")
+  with pytest.raises(RuntimeError, match="Boolean value of Tensor"):
+    agent.update(_np_batch(_off_batch(300)))
+
+
+@pytest.mark.parametrize("twin", [False, True], ids=["sac", "twin_sac"])
+def test_sac_update_matches_real_reference(twin):
+  """Three updates of the REAL torchrl SAC / TwinSAC (sac.py:77-180,
+  twin_sac.py:83-205: V target network, alpha tuned BEFORE the targets
+  use it, Q bootstrap from target-V, V regressed on (min-)Q(s, a_new) -
+  alpha*logp, reparameterized policy loss + mean/logstd L2 regs, soft
+  target update on vf only) vs the repo's SACLearner, asserts compiled
+  out (see test_sac_reference_update_is_uncallable).  The single rsample
+  per update is bridged by routing the reference's standard-normal draw
+  to the repo's exact key."""
+  import torchrl.policies.distribution as ref_dist_mod
+
+  mod_name = "twin_sac" if twin else "sac"
+  ref_mod = _import_noassert(f"torchrl/algo/off_policy/{mod_name}.py",
+                             f"_noassert_{mod_name}")
+  RefCls = ref_mod.TwinSAC if twin else ref_mod.SAC
+
+  pf_mod, qf_mod, vf_mod, pf_p, qf_p, qf2_p, vf_p = _sac_modules(
+      111 if twin else 110)
+  pf_t = _build_sac_pf(pf_p)
+  vf_t = _ref_vnet(vf_p)
+  common = dict(
+      pf=pf_t, vf=vf_t, plr=_OFF_CFG.plr, vlr=_OFF_CFG.qlr,
+      qlr=_OFF_CFG.qlr, automatic_entropy_tuning=True, tau=_OFF_CFG.tau,
+      policy_std_reg_weight=_OFF_CFG.policy_std_reg_weight,
+      policy_mean_reg_weight=_OFF_CFG.policy_mean_reg_weight,
+      use_soft_update=True, env=_FakeEnv(), replay_buffer=None,
+      collector=_FakeCollector(OFF_B), logger=_NullLogger(),
+      discount=_OFF_CFG.discount, batch_size=OFF_B, num_epochs=10,
+      device="cpu", save_dir="/tmp/ref_golden")
+  if twin:
+    qf1_t, qf2_t = _ref_qnet(qf_p, ADIM), _ref_qnet(qf2_p, ADIM)
+    agent = RefCls(qf1=qf1_t, qf2=qf2_t, **common)
+  else:
+    qf1_t = _ref_qnet(qf_p, ADIM)
+    agent = RefCls(qf=qf1_t, **common)
+
+  learner = SACLearner(_OFF_CFG, pf_mod.apply, qf_mod.apply,
+                       lambda p, o: vf_mod.apply(p, o), ADIM, twin=twin)
+  state = learner.init_state(pf_p, qf_p, vf_p,
+                             qf2_params=qf2_p if twin else None)
+  update = jax.jit(learner.update)
+
+  class _RoutedNormal:
+    queue = []
+
+    def __new__(cls, loc, scale):
+      if (torch.is_tensor(loc) and torch.all(loc == 0)
+          and torch.all(scale == 1)):
+        return object.__new__(cls)
+      return torch.distributions.Normal(loc, scale)
+
+    def sample(self):
+      return _RoutedNormal.queue.pop(0)
+
+  orig = ref_dist_mod.Normal
+  ref_dist_mod.Normal = _RoutedNormal
+  try:
+    for i in range(3):
+      key = jax.random.PRNGKey(400 + i)
+      batch = _off_batch(80 + i)
+      # one rsample per reference update: pf.explore(obs)
+      _RoutedNormal.queue.append(_t(jax.random.normal(key, (OFF_B, ADIM))))
+      state, _ = update(state, batch, key)
+      agent.update(_np_batch(batch))
+      assert not _RoutedNormal.queue, "reference drew fewer samples"
+  finally:
+    ref_dist_mod.Normal = orig
+
+  np.testing.assert_allclose(
+      float(state.extras["log_alpha"]), float(agent.log_alpha.item()),
+      atol=1e-5, err_msg="log_alpha diverged")
+  _assert_nets_close(pf_t, state.params["pf"], _build_sac_pf, "pf",
+                     atol=1e-4)
+  _assert_nets_close(qf1_t, state.params["qf"],
+                     lambda p: _ref_qnet(p, ADIM), "qf", atol=1e-4)
+  if twin:
+    _assert_nets_close(qf2_t, state.params["qf2"],
+                       lambda p: _ref_qnet(p, ADIM), "qf2", atol=1e-4)
+  _assert_nets_close(vf_t, state.params["vf"], _ref_vnet, "vf", atol=1e-4)
+  _assert_nets_close(agent.target_vf, state.target_params["vf"],
+                     _ref_vnet, "target_vf", atol=1e-4)
+
+
+def test_qrdqn_update_matches_real_reference():
+  """Three updates of the REAL torchrl QRDQN (qrdqn.py:23-75: quantile
+  net viewed (B, A, Q), greedy action from the quantile MEAN of the
+  target net, per-quantile Huber weighted by |tau - 1{diff<0}| with a
+  FULL mean reduction, utils.py:5-9) vs the repo's DQNLearner in qrdqn
+  mode.  Deterministic."""
+  from torchrl.algo import QRDQN as RefQRDQN
+
+  n_act, nq = 4, 8
+  qf_mod = DiscreteQNet(num_actions=n_act, hidden_shapes=(32, 32),
+                        num_quantiles=nq)
+  qf_p = qf_mod.init(jax.random.PRNGKey(55), jnp.zeros((1, OFF_OBS)))
+
+  def build_qf(p):
+    return _load_ref_net(
+        ref_networks.Net(output_shape=n_act * nq,
+                         base_type=ref_networks.MLPBase,
+                         input_shape=OFF_OBS, hidden_shapes=[32, 32]),
+        p["params"])
+
+  qf_t = build_qf(qf_p)
+
+  class _EpsPf:
+    epsilon = 0.05
+
+  class _DiscEnv:
+    action_space = gymnasium.spaces.Discrete(n_act)
+
+  agent = RefQRDQN(
+      qf=qf_t, pf=_EpsPf(), quantile_num=nq, qlr=_OFF_CFG.qlr,
+      tau=_OFF_CFG.tau, use_soft_update=True, env=_DiscEnv(),
+      replay_buffer=None, collector=_FakeCollector(OFF_B),
+      logger=_NullLogger(), discount=_OFF_CFG.discount, batch_size=OFF_B,
+      num_epochs=10, device="cpu", save_dir="/tmp/ref_golden")
+
+  cfg = OffPolicyConfig(plr=1e-3, qlr=1e-3, discount=0.99,
+                        batch_size=OFF_B, tau=0.01, num_quantiles=nq)
+  learner = DQNLearner(cfg, qf_mod.apply, mode="qrdqn")
+  state = learner.init_state(qf_p)
+  update = jax.jit(learner.update)
+  for i in range(3):
+    batch = _off_batch(60 + i, act_dim=n_act, discrete=True)
+    state, _ = update(state, batch, jax.random.PRNGKey(i))
+    # unlike plain DQN (gather(-1, (B,1))), qrdqn.py:44 unsqueezes twice —
+    # it expects flat (B,) actions
+    agent.update(_np_batch(batch))
+
+  _assert_nets_close(qf_t, state.params["qf"], build_qf, "qf")
+  _assert_nets_close(agent.target_qf, state.target_params["qf"],
+                     build_qf, "target_qf")
+
+
+def test_bootstrapped_dqn_update_matches_real_reference():
+  """Three updates of the REAL torchrl BootstrappedDQN update rule
+  (bootstrapped_dqn.py:56-101: per-head gathered-Q MSE, multiplied by the
+  Bernoulli bootstrap masks, summed over heads / head_num, batch-meaned)
+  vs the repo's DQNLearner in bootstrapped mode.  The reference's own
+  BootstrappedNet is unconstructable (pinned by
+  test_bootstrapped_net_reference_is_unconstructable), so the q-network
+  is a torch twin of the repo's BootstrappedQNet with transplanted
+  weights — the REAL reference code under test is the update."""
+  from torchrl.algo import BootstrappedDQN as RefBDQN
+
+  n_act, K = 4, 3
+  qf_mod = BootstrappedQNet(num_actions=n_act, num_heads=K,
+                            hidden_shapes=(32, 32))
+  qf_p = qf_mod.init(jax.random.PRNGKey(66), jnp.zeros((1, OFF_OBS)))
+
+  class _TwinBootNet(torch.nn.Module):
+    def __init__(self):
+      super().__init__()
+      self.l0 = torch.nn.Linear(OFF_OBS, 32)
+      self.l1 = torch.nn.Linear(32, 32)
+      self.heads = torch.nn.ModuleList(
+          [torch.nn.Linear(32, n_act) for _ in range(K)])
+
+    def forward(self, x, head_idxs):
+      f = torch.relu(self.l1(torch.relu(self.l0(x))))
+      return [self.heads[i](f) for i in head_idxs]
+
+  def build_qf(p):
+    net = _TwinBootNet()
+    pp = p["params"]
+    _lin(net.l0, pp["MLPBase_0"]["Dense_0"])
+    _lin(net.l1, pp["MLPBase_0"]["Dense_1"])
+    for i in range(K):
+      _lin(net.heads[i], pp[f"Dense_{i}"])
+    return net
+
+  qf_t = build_qf(qf_p)
+
+  class _EpsPf:
+    epsilon = 0.05
+
+    def sample_head(self):
+      pass
+
+  class _DiscEnv:
+    action_space = gymnasium.spaces.Discrete(n_act)
+
+  agent = RefBDQN(
+      qf=qf_t, pf=_EpsPf(), head_num=K, qlr=_OFF_CFG.qlr,
+      tau=_OFF_CFG.tau, use_soft_update=True, env=_DiscEnv(),
+      replay_buffer=None, collector=_FakeCollector(OFF_B),
+      logger=_NullLogger(), discount=_OFF_CFG.discount, batch_size=OFF_B,
+      num_epochs=10, device="cpu", save_dir="/tmp/ref_golden")
+
+  cfg = OffPolicyConfig(plr=1e-3, qlr=1e-3, discount=0.99,
+                        batch_size=OFF_B, tau=0.01, num_heads=K)
+  learner = DQNLearner(cfg, qf_mod.apply, mode="bootstrapped")
+  state = learner.init_state(qf_p)
+  update = jax.jit(learner.update)
+  for i in range(3):
+    batch = _off_batch(90 + i, act_dim=n_act, discrete=True)
+    masks = (jax.random.uniform(jax.random.PRNGKey(700 + i),
+                                (OFF_B, K)) < 0.5).astype(jnp.float32)
+    batch = dict(batch, masks=masks)
+    state, _ = update(state, batch, jax.random.PRNGKey(i))
+    # bootstrapped_dqn.py:79 gathers with actions.unsqueeze(1) — flat (B,)
+    agent.update(_np_batch(batch))
+
+  _assert_nets_close(qf_t, state.params["qf"], build_qf, "qf")
+  _assert_nets_close(agent.target_qf, state.target_params["qf"],
+                     build_qf, "target_qf")
+
+
+# ---------------------------------------------------------------------------
+# PPOAux: the aux-loss PPO variant (ppo_aux.py) over ImpalaFuseResidual
+# ---------------------------------------------------------------------------
+def test_ppo_aux_reference_aux_net_is_uncallable():
+  """The reference's own aux forward is dead code: ImpalaFuseResidualActor.
+  forward_and_compute_aux_loss (nets.py:488-511) calls
+  `self.encoder.forward_with_sub_vec`, a method NO reference encoder
+  defines — so the shipped PPOAux can never produce an aux loss from the
+  shipped networks.  The repo's aux definition (visual features regress
+  the displacement-sensor history) follows the evident intent; the update
+  RULE is goldened below with that aux grafted onto the real nets."""
+  proprio = 33
+  encoder = ref_networks.ImpalaFuseEncoder(
+      in_channels=CH, state_input_dim=proprio, visual_dim=64,
+      hidden_shapes=[32, 32])
+  pf = ref_policies.GaussianContPolicyImpalaFuseResidualWithAux(
+      encoder=encoder, state_input_shape=proprio,
+      visual_input_shape=(CH, 64, 64), output_shape=ADIM,
+      append_hidden_shapes=[32, 32])
+  obs = torch.zeros(2, proprio + CH * 64 * 64)
+  with pytest.raises(AttributeError, match="forward_with_sub_vec"):
+    pf.forward_and_compute_aux_loss(obs)
+
+
+@pytest.mark.parametrize("clipped_vf", [False, True],
+                         ids=["mse_vf", "clipped_vf"])
+def test_ppo_aux_update_matches_real_reference(clipped_vf):
+  """One epoch of the REAL torchrl PPOAux (ppo_aux.py:30-160: target_pf
+  snapshot at epoch start and ratio recomputed against it, critic first
+  with optional clipped value loss, actor loss + aux_coeff * aux_loss,
+  grad clip 0.5, Bessel advantage normalization) vs the repo's
+  PPOAuxLearner over ImpalaFuseResidualActorCritic.  The policy forward
+  under the reference update is the real GaussianContPolicyImpalaFuse-
+  ResidualWithAux.forward; only forward_and_compute_aux_loss is grafted
+  (the reference's own is uncallable — pinned above) to compute the
+  repo's aux definition from the same real encoder tensors."""
+  from torchrl.algo import PPOAux as RefPPOAux
+  from vision4leg_tpu.algo.ppo_aux import PPOAuxConfig, PPOAuxLearner
+  from vision4leg_tpu.models.actor_critic import ImpalaFuseResidualActorCritic
+
+  proprio = 33
+  obs_dim = proprio + CH * 64 * 64
+  T, E = 4, 2
+  # one minibatch = one Adam step per net: single-step parity is TIGHT
+  # (grads match to ~1e-5 — probed during development), while multi-step
+  # runs drift chaotically through discrete min/clamp branch selections
+  # amplified by Adam's m/sqrt(v) sign normalization on this conv-heavy
+  # net.  Multi-step optimizer dynamics are already goldened by
+  # test_ppo_update_matches_real_reference (4 steps); what THIS test pins
+  # is PPOAux's own mechanics: target_pf ratio, aux_coeff folding,
+  # critic-then-actor on the shared encoder, optional clipped value loss.
+  cfg = PPOAuxConfig(plr=1e-3, vlr=1e-3, clip_para=0.2, entropy_coeff=0.005,
+                     discount=0.99, tau=0.95, batch_size=T * E,
+                     epoch_frames=T * E, max_episode_frames=999,
+                     opt_epochs=1, num_epochs=100, shuffle=False,
+                     clipped_value_loss=clipped_vf, aux_coeff=0.7)
+
+  module = ImpalaFuseResidualActorCritic(
+      action_dim=ADIM, state_input_shape=proprio,
+      visual_input_shape=(CH, 64, 64), encoder_hidden_shapes=(32, 32),
+      visual_dim=64, append_hidden_shapes=(32, 32))
+  params = module.init(jax.random.PRNGKey(20), jnp.zeros((1, obs_dim)))
+  aux_dim = module.displacement_dim * module.history
+
+  class _AuxRefPolicy(
+      ref_policies.GaussianContPolicyImpalaFuseResidualWithAux):
+    def __init__(self, aux_out_dim, **kw):
+      super().__init__(**kw)
+      self.aux_fc = torch.nn.Linear(64, aux_out_dim)
+
+    def forward_and_compute_aux_loss(self, x):
+      mean, std, logstd = self.forward(x)   # the REAL reference forward
+      state_input = x[..., :self.state_input_shape]
+      visual_input = x[..., self.state_input_shape:].view(
+          torch.Size(state_input.shape[:-1]) + self.visual_input_shape)
+      visual_out, _ = self.encoder(visual_input, state_input)
+      aux_loss = torch.nn.functional.mse_loss(
+          self.aux_fc(visual_out), state_input[..., :aux_dim])
+      return mean, std, logstd, aux_loss
+
+  class _RefFuseVf(torch.nn.Module):
+    """The repo's v(x) = MLPHead(cat[visual_out, state_out]) over the
+    SHARED encoder, as a torch twin (no reference fuse value net exists —
+    no starter instantiates this family)."""
+
+    def __init__(self, encoder):
+      super().__init__()
+      self.encoder = encoder
+      self.seq = torch.nn.Sequential(
+          torch.nn.Linear(64 + 32, 32), torch.nn.ReLU(),
+          torch.nn.Linear(32, 32), torch.nn.ReLU(),
+          torch.nn.Linear(32, 1))
+
+    def forward(self, x):
+      state_input = x[..., :proprio]
+      visual_input = x[..., proprio:].view(
+          torch.Size(state_input.shape[:-1]) + (CH, 64, 64))
+      visual_out, state_out = self.encoder(visual_input, state_input)
+      return self.seq(torch.cat([visual_out, state_out], dim=-1))
+
+  p = params["params"]
+  encoder = ref_networks.ImpalaFuseEncoder(
+      in_channels=CH, state_input_dim=proprio, visual_dim=64,
+      hidden_shapes=[32, 32])
+  pf = _AuxRefPolicy(
+      aux_out_dim=aux_dim, encoder=encoder, state_input_shape=proprio,
+      visual_input_shape=(CH, 64, 64), output_shape=ADIM,
+      append_hidden_shapes=[32, 32])
+  vf = _RefFuseVf(encoder)
+
+  def transplant(pf, vf, params):
+    p = params["params"]
+    _load_impala(encoder.visual_base, p["visual_base"])
+    _lin(encoder.visual_projector.projection[0],
+         p["visual_proj"]["Dense_0"])
+    _lin(encoder.base.seq_fcs[0], p["state_mlp"]["Dense_0"])
+    _lin(encoder.base.seq_fcs[2], p["state_mlp"]["Dense_1"])
+    for i in range(3):
+      _lin(pf.visual_seq_append_fcs[2 * i], p["pf_fused"][f"Dense_{i}"])
+      _lin(pf.seq_append_fcs[2 * i], p["pf_state"][f"Dense_{i}"])
+      _lin(vf.seq[2 * i], p["vf_fused"][f"Dense_{i}"])
+    _lin(pf.aux_fc, p["aux_head"]["Dense_0"])
+    with torch.no_grad():
+      pf.logstd.copy_(_t(p["head"]["logstd"]))
+    return pf, vf
+
+  pf, vf = transplant(pf, vf, params)
+
+  def apply_pi(p, x):
+    return module.apply(p, x, method=module.pi)
+
+  def apply_pi_aux(p, x):
+    return module.apply(p, x, method=module.pi_with_aux)
+
+  def apply_v(p, x):
+    return module.apply(p, x, method=module.v)
+
+  learner = PPOAuxLearner(cfg, apply_pi, apply_v, params,
+                          apply_pi_aux=apply_pi_aux)
+  ts = learner.init_state(params)
+
+  ks = jax.random.split(jax.random.PRNGKey(21), 6)
+  obs = _rand_obs(ks[0], (T, E, obs_dim))
+  next_obs = _rand_obs(ks[1], (T, E, obs_dim))
+  acts = jax.random.normal(ks[2], (T, E, ADIM))
+  rewards = jax.random.normal(ks[3], (T, E, 1))
+  terminals = (jax.random.uniform(ks[4], (T, E, 1)) < 0.2)
+  time_limits = jnp.zeros((T, E, 1), bool)
+
+  flat_obs = obs.reshape(-1, obs_dim)
+  mean0, std0, _ = apply_pi(params, flat_obs)
+  logp0 = jnp.sum(
+      -0.5 * ((acts.reshape(-1, ADIM) - mean0) / std0) ** 2
+      - jnp.log(std0) - 0.5 * jnp.log(2 * jnp.pi), -1, keepdims=True)
+  values0 = apply_v(params, flat_obs)
+
+  traj = Transition(
+      obs=obs, acts=acts, log_probs=logp0.reshape(T, E, 1),
+      values=values0.reshape(T, E, 1), rewards=rewards,
+      terminals=terminals, time_limits=time_limits,
+      means=mean0.reshape(T, E, ADIM), stds=std0.reshape(T, E, ADIM))
+  last_value = (apply_v(params, next_obs[-1])[:, 0]
+                * (1.0 - terminals[-1, :, 0].astype(jnp.float32)))
+
+  new_ts, _ = jax.jit(learner.update_per_epoch)(ts, traj, last_value,
+                                                jax.random.PRNGKey(0))
+
+  buf = OnPolicyReplayBuffer(env_nums=E, max_replay_buffer_size=T * E,
+                             time_limit_filter=True)
+  for t in range(T):
+    buf.add_sample({
+        "obs": np.asarray(obs[t]), "next_obs": np.asarray(next_obs[t]),
+        "acts": np.asarray(acts[t]),
+        "values": np.asarray(values0.reshape(T, E, 1)[t]),
+        "rewards": np.asarray(rewards[t]),
+        "terminals": np.asarray(terminals[t]),
+        "time_limits": np.asarray(time_limits[t])})
+
+  agent = RefPPOAux(
+      pf=pf, vf=vf, clip_para=cfg.clip_para, opt_epochs=cfg.opt_epochs,
+      clipped_value_loss=clipped_vf, aux_coeff=cfg.aux_coeff,
+      plr=cfg.plr, vlr=cfg.vlr, entropy_coeff=cfg.entropy_coeff,
+      tau=cfg.tau, gae=True, shuffle=False, env=_FakeEnv(),
+      replay_buffer=buf, collector=_FakeCollector(T * E),
+      logger=_NullLogger(), discount=cfg.discount,
+      batch_size=cfg.batch_size, num_epochs=cfg.num_epochs, device="cpu",
+      save_dir="/tmp/ref_golden")
+  agent.current_epoch = 0
+  agent.update_per_epoch()
+
+  pf2 = _AuxRefPolicy(
+      aux_out_dim=aux_dim, encoder=ref_networks.ImpalaFuseEncoder(
+          in_channels=CH, state_input_dim=proprio, visual_dim=64,
+          hidden_shapes=[32, 32]),
+      state_input_shape=proprio, visual_input_shape=(CH, 64, 64),
+      output_shape=ADIM, append_hidden_shapes=[32, 32])
+  vf2 = _RefFuseVf(pf2.encoder)
+  # rebuilding shares pf2's encoder, so transplant once with new params
+  globals()["encoder"] = pf2.encoder  # _load calls reference pf2.encoder
+  enc2 = pf2.encoder
+
+  def transplant2(params):
+    p = params["params"]
+    _load_impala(enc2.visual_base, p["visual_base"])
+    _lin(enc2.visual_projector.projection[0], p["visual_proj"]["Dense_0"])
+    _lin(enc2.base.seq_fcs[0], p["state_mlp"]["Dense_0"])
+    _lin(enc2.base.seq_fcs[2], p["state_mlp"]["Dense_1"])
+    for i in range(3):
+      _lin(pf2.visual_seq_append_fcs[2 * i], p["pf_fused"][f"Dense_{i}"])
+      _lin(pf2.seq_append_fcs[2 * i], p["pf_state"][f"Dense_{i}"])
+      _lin(vf2.seq[2 * i], p["vf_fused"][f"Dense_{i}"])
+    _lin(pf2.aux_fc, p["aux_head"]["Dense_0"])
+    with torch.no_grad():
+      pf2.logstd.copy_(_t(p["head"]["logstd"]))
+
+  transplant2(new_ts.params)
+
+  def assert_close(a, b, what):
+    sa, sb = a.state_dict(), b.state_dict()
+    assert sa.keys() == sb.keys()
+    for k in sa:
+      np.testing.assert_allclose(
+          sb[k].numpy(), sa[k].numpy(), atol=2.5e-4,
+          err_msg=f"{what}:{k} diverged from the real reference PPOAux "
+                  "update")
+
+  assert_close(pf, pf2, "pf")
+  assert_close(vf, vf2, "vf")

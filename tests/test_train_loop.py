@@ -121,3 +121,54 @@ def test_donation_fallback_paths(monkeypatch):
     assert np.isfinite(losses[donate])
   monkeypatch.setattr(agent_mod, "_DONATION_USABLE", None)
   assert losses["0"] == losses["1"]
+
+
+def test_sim2sim_eval_env(tmp_path):
+  """Sim-to-sim transfer evaluation (reference ppo_nature_cnn_sim2sim.py:
+  43-60): the agent collects on the train env but evaluates on a SEPARATE
+  env built from mutated env params (here: a different episode budget via
+  eval_horizon and per-step MMDR frame re-randomization), sharing the
+  train normalizer.  Pins the eval_env plumbing + the starter's params
+  transform."""
+  import jax
+
+  from starter.ppo_nature_cnn_sim2sim import sim2sim_eval_params
+
+  env_params = {
+      "obs_norm": True,
+      "horizon": 999,
+      "env_build": {"motor_control_mode": "POSITION",
+                    "time_step_s": 0.0025, "num_action_repeat": 4,
+                    "diagonal_act": True,
+                    "clip_num": [0.05, 0.5, 0.5] * 4,
+                    "get_image_interval": 1, "frame_extract": 1,
+                    "curriculum": False,
+                    "terrain_type": "plane"}}
+  import copy
+  env, meta = get_env("A1MoveGround", copy.deepcopy(env_params))
+  ev = sim2sim_eval_params(copy.deepcopy(env_params))
+  # the reference transform: interval 1 + extract 1 -> frame_extract 4,
+  # per-step frame reset, horizon 2000, curriculum off
+  assert ev["env_build"]["frame_extract"] == 4
+  assert ev["env_build"]["reset_frame_idx_each_step"] is True
+  assert ev["horizon"] == 2000
+  assert ev["env_build"]["curriculum"] is False
+  eval_env, eval_meta = get_env("A1MoveGround", ev)
+  assert eval_env.obs_dim == env.obs_dim  # same policy must run on both
+
+  module = StateActorCritic(action_dim=6, hidden_shapes=(16, 16),
+                            append_hidden_shapes=(16, 16))
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, opt_epochs=1, batch_size=8,
+                  epoch_frames=32, max_episode_frames=999, num_epochs=2)
+  logger = Logger("exp", "A1MoveGround", 0, {"p": 1}, str(tmp_path))
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4,
+                   seed=0, logger=logger,
+                   save_dir=osp.join(logger.work_dir, "model"),
+                   obs_norm=True, env_time_limit=20,
+                   eval_interval=1, save_interval=2, num_eval_envs=2,
+                   eval_env=eval_env, eval_horizon=12)
+  rets, steps = agent._eval(agent.train_state.params,
+                            agent.collector_state.normalizer,
+                            jax.random.PRNGKey(0))
+  assert rets.shape == (2,)
+  assert float(steps.max()) <= 12  # the eval scan runs at eval_horizon

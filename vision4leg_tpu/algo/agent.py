@@ -113,7 +113,12 @@ class PPOAgent:
                num_eval_envs: int = 2, obs_norm: bool = True,
                env_time_limit: int = 1000, reward_scale: float = 1.0,
                inference_dtype=None, mesh=None,
-               fused_attention: Optional[bool] = None):
+               fused_attention: Optional[bool] = None,
+               eval_env=None, eval_horizon: Optional[int] = None):
+    # eval_env: evaluate on a DIFFERENT env than the one collected from
+    # (sim-to-sim transfer, reference starter/ppo_nature_cnn_sim2sim.py:
+    # 43-60 builds an eval env with modified env_build + horizon 2000 and
+    # shares the train env's obs normalizer).  Defaults to the train env.
     self.env = env
     self.module = ac_module
     self.cfg = cfg
@@ -221,19 +226,24 @@ class PPOAgent:
       self._shard_over_mesh()
 
     # deterministic eval rollout (collector/base.py:235-288: eval_act=mean,
-    # frozen normalizer)
+    # frozen normalizer), optionally on a transfer eval env
+    ev_env = eval_env if eval_env is not None else env
+    ev_len = eval_horizon if eval_horizon is not None \
+        else cfg.max_episode_frames
+
     def eval_rollout(params, normalizer, key):
       ks = jax.random.split(key, num_eval_envs)
-      states, raw = jax.vmap(env.reset)(ks)
+      states, raw = jax.vmap(ev_env.reset)(ks)
 
       def step(carry, _):
         states, raw, ret, done_seen, steps = carry
-        obs = (norm.filt_with_img_tail(normalizer, raw, env.cfg.proprio_dim)
+        obs = (norm.filt_with_img_tail(normalizer, raw,
+                                       ev_env.cfg.proprio_dim)
                if obs_norm else raw)
         mean, _, _ = apply_pi(params, obs)
         env_act = jnp.tanh(mean)
         env_act = act_low + (env_act + 1.0) * 0.5 * (act_high - act_low)
-        states, raw, rew, done, _ = jax.vmap(env.step)(states, env_act)
+        states, raw, rew, done, _ = jax.vmap(ev_env.step)(states, env_act)
         ret = ret + rew * (1.0 - done_seen)
         steps = steps + (1.0 - done_seen)
         done_seen = jnp.maximum(done_seen, done.astype(jnp.float32))
@@ -242,7 +252,7 @@ class PPOAgent:
       init = (states, raw, jnp.zeros(num_eval_envs),
               jnp.zeros(num_eval_envs), jnp.zeros(num_eval_envs))
       (states, raw, ret, done_seen, steps), _ = jax.lax.scan(
-          step, init, None, length=cfg.max_episode_frames)
+          step, init, None, length=ev_len)
       return ret, steps
 
     # two jitted phases (explore / train), mirroring the reference's

@@ -370,13 +370,22 @@ class DQNLearner:
         pred = jnp.take_along_axis(q, acts[:, None], axis=-1)[:, 0]
         return jnp.mean((pred - jax.lax.stop_gradient(target)) ** 2)
       if self.mode == "bootstrapped":
-        # (B, K, A): average TD loss over heads (bootstrapped_dqn.py:56+)
+        # (B, K, A): per-head TD loss, weighted by the Bernoulli bootstrap
+        # masks stored at collection time, summed over heads / K and
+        # averaged over the batch — exactly
+        # (mse_losses * masks / head_num).sum(1).mean()
+        # (bootstrapped_dqn.py:73-90).  Without masks (all ones) this is
+        # the plain head-average.
         target = rewards[:, None, 0:1] + (
             1 - terminals[:, None, 0:1]) * cfg.discount * jnp.max(
                 tq, axis=-1, keepdims=True)
         pred = jnp.take_along_axis(
             q, acts[:, None, None].repeat(q.shape[1], 1), axis=-1)
-        return jnp.mean((pred - jax.lax.stop_gradient(target)) ** 2)
+        mse = (pred - jax.lax.stop_gradient(target)) ** 2    # (B, K, 1)
+        masks = batch.get("masks")
+        if masks is not None:
+          mse = mse * masks.reshape(mse.shape[0], mse.shape[1], 1)
+        return jnp.mean(mse)
       # QRDQN (qrdqn.py:23+): quantile regression Huber loss
       nq = cfg.num_quantiles
       taus = (jnp.arange(nq) + 0.5) / nq
@@ -391,7 +400,12 @@ class DQNLearner:
       huber = jnp.where(jnp.abs(u) <= 1.0, 0.5 * u**2,
                         jnp.abs(u) - 0.5)
       weight = jnp.abs(taus[None, :, None] - (u < 0))
-      return jnp.mean(jnp.sum(jnp.mean(weight * huber, axis=-1), axis=-1))
+      # full mean over (B, Q, Q'), the reference's reduction
+      # (utils.py:5-9 quantile_regression_loss: loss.mean()) — NOT the
+      # paper's sum-over-pred-quantiles, which is Q x larger (Adam is
+      # scale-invariant so dynamics match either way, but the loss metric
+      # and the golden update only pin down one choice)
+      return jnp.mean(weight * huber)
 
     qf_loss, gq = jax.value_and_grad(qf_loss_fn)(state.params["qf"])
     up, qf_opt = self.qf_tx.update(gq, state.opt_states["qf"],

@@ -41,10 +41,19 @@ class OnPolicyConfig:
   lr_decay: bool = True      # linear schedule (PPO/TRPO yes, VMPO no)
 
 
-def param_labels(params, vf_prefixes=("vf",), shared_prefixes=("encoder",
-                                                               "base")):
+def param_labels(params, vf_prefixes=("vf",),
+                 shared_prefixes=("encoder", "base", "backbone",
+                                  "visual_base", "visual_proj",
+                                  "state_mlp")):
   """Label each top-level param subtree as pf / vf / both (the shared
-  encoder belongs to both optimizers, as in the reference)."""
+  encoder belongs to both optimizers, as in the reference: each torch
+  optimizer is built over the full pf.parameters()/vf.parameters(), and
+  a shared encoder appears in BOTH — a1_hardware aside, every reference
+  starter wires one encoder into pf and vf).  The prefixes cover every
+  ActorCritic module's shared-trunk names: encoder (LocoTransformer /
+  VisionOnly / NatureFuse), base (State), backbone (VisualNet),
+  visual_base / visual_proj / state_mlp (ImpalaFuseResidual) — heads
+  (pf_*, vf_*, head, aux_head) stay single-owner."""
   def label(name):
     if any(name.startswith(p) for p in vf_prefixes):
       return "vf"

@@ -39,6 +39,11 @@ class PPOAuxLearner(PPOLearner):
 
     def vf_loss_fn(params):
       values = self.apply_v(params, obs)
+      if cfg.clipped_value_loss:   # ppo_aux.py:110-120, same form as PPO
+        clipped = old_values + jnp.clip(values - old_values,
+                                        -cfg.clip_para, cfg.clip_para)
+        return 0.5 * jnp.maximum((values - est_rets) ** 2,
+                                 (clipped - est_rets) ** 2).mean()
       return jnp.mean((values - est_rets) ** 2)
 
     vf_loss, vf_grads = jax.value_and_grad(vf_loss_fn)(ts.params)
