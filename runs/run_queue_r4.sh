@@ -102,10 +102,12 @@ run thin_goal_T64_cvf starter/ppo_locotransformer.py \
     config/experiments/locotransformer/thin-goal-cvf.json 256 0 611
 run thin_goal_T64_cvf_s1 starter/ppo_locotransformer.py \
     config/experiments/locotransformer/thin-goal-cvf.json 256 1 611
+# 128 envs x 8192-frame epochs = T=64 exactly (the recommended regime)
+# and half the HBM of 256 (the MPC env carries QP state per env)
 run mpc_thin_10M starter/ppo_locotransformer.py \
-    config/mpc/locotransformer/thin.json 256 0 1221
+    config/mpc/locotransformer/thin.json 128 0 1221
 run vision_only_thin_5M starter/ppo_locotransformer_vision_only.py \
-    config/mpc_vision_only/locotransformer/thin.json 256 0 611
+    config/mpc_vision_only/locotransformer/thin.json 128 0 611
 run bf16_thin_goal_T64 starter/ppo_locotransformer.py \
     config/rl/static/locotransformer/thin-goal.json 256 0 611 \
     V4L_BF16_COLLECT=1

@@ -172,3 +172,36 @@ def test_sim2sim_eval_env(tmp_path):
                             jax.random.PRNGKey(0))
   assert rets.shape == (2,)
   assert float(steps.max()) <= 12  # the eval scan runs at eval_horizon
+
+
+def test_vision_only_epoch_zero_proprio(tmp_path):
+  """Vision-only MPC envs have proprio_dim == 0, so the obs normalizer
+  tracks a ZERO-SIZE vector — the per-epoch telemetry's normalizer-drift
+  max has no identity there (caught live by the round-4 vision-only
+  training run's smoke: 'zero-size array to reduction operation max').
+  Pins one full train epoch on a vision-only env."""
+  import json
+
+  params = json.load(open(osp.join(
+      osp.dirname(osp.dirname(osp.abspath(__file__))),
+      "config/mpc_vision_only/locotransformer/thin.json")))
+  params["env"]["env_build"]["terrain_type"] = "plane"
+  env, meta = get_env(params["env_name"], params["env"])
+  assert env.cfg.proprio_dim == 0
+
+  from starter.ppo_locotransformer_vision_only import build_module
+  module = build_module(env, params)
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, opt_epochs=1, batch_size=8,
+                  epoch_frames=16, max_episode_frames=8, num_epochs=1)
+  logger = Logger("exp", params["env_name"], 0, {"p": 1}, str(tmp_path))
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=2,
+                   seed=0, logger=logger,
+                   save_dir=osp.join(logger.work_dir, "model"),
+                   obs_norm=meta["obs_norm"], env_time_limit=8,
+                   eval_interval=100, save_interval=100, num_eval_envs=2)
+  import jax
+  ts, cs, metrics = agent._train_epoch(agent.train_state,
+                                       agent.collector_state,
+                                       jax.random.PRNGKey(0))
+  assert float(metrics["diagnostics/obs_norm_var_max"]) == 0.0
+  assert np.isfinite(float(metrics["Training/policy_loss"]))

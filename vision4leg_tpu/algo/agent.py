@@ -308,7 +308,10 @@ class PPOAgent:
               ~jnp.isfinite(traj.rewards)).astype(jnp.float32),
           "diagnostics/terminal_rate": traj.terminals.mean(),
           "diagnostics/obs_norm_mean_l2": jnp.linalg.norm(nrm.mean),
-          "diagnostics/obs_norm_var_max": jnp.max(nrm.var),
+          # vision-only envs have proprio_dim == 0, so the normalizer
+          # tracks a zero-size vector — max() has no identity there
+          "diagnostics/obs_norm_var_max": (
+              jnp.max(nrm.var) if nrm.var.size else jnp.zeros(())),
       }
 
     def train_epoch(ts: PPOTrainState, cs, key, max_ep=None):
