@@ -126,7 +126,8 @@ def main():
   use_bf16 = os.environ.get("V4L_BENCH_BF16", "") not in ("", "0")
   inf_dtype = jnp.bfloat16 if use_bf16 else None
   # V4L_BENCH_FUSED_ATTN: "0" forces the flax layer, "1" forces the
-  # Pallas fused layer, unset = agent default (on for TPU backends)
+  # Pallas fused layer, unset = agent default (flax since the round-4
+  # epoch-level A/B — see agent.py fused_attention)
   fused_env = os.environ.get("V4L_BENCH_FUSED_ATTN", "")
   fused_attn = None if fused_env == "" else fused_env != "0"
 

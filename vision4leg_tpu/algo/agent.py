@@ -143,20 +143,25 @@ class PPOAgent:
     params = ac_module.init(k_init, dummy_obs)
 
     # Fused Pallas attention for the no-gradient collection forward:
-    # measured 2.45x vs the flax layer at the shipped rollout shape
-    # (v5e, runs/attention_bench.json); default on for TPU backends.
-    # pi_v (rollout inference) opts in.  The learner's apply_pi/apply_v
-    # closures can additionally opt in under V4L_FUSED_UPDATE=1, but the
-    # round-3 idle-chip measurement closed this as a net loss and it
-    # stays OFF: the custom_vjp backward is a recompute-based XLA VJP
-    # (the fused Pallas backward was measured 0.09x and retired — see
-    # ops/attention.py fused_transformer_layer_ad), so opting in trades
-    # a ~30 us/layer forward saving for a full forward recompute in the
-    # backward; the Amdahl ceiling (~20 ms attention grads inside a
-    # 50 ms update phase of a 330 ms epoch) is ~6% even at infinite
-    # backward speed.
+    # default OFF since round 4.  History: the layer microbenched 2.45x
+    # vs the flax layer in isolation (runs/attention_bench.json) and was
+    # defaulted on in r2 — but the round-4 interleaved EPOCH-level A/B on
+    # the idle chip (4 measurements, fused/flax alternating) showed the
+    # flax path is the faster FULL PROGRAM at the shipped rollout shape:
+    # flax 48,502 / 47,430 vs fused 45,595 / 45,509 env-steps/s (~+6%%
+    # flax).  The microbench win doesn't survive composition: the Pallas
+    # call is an opaque fusion boundary inside the 16-step scan body, so
+    # XLA can no longer fuse the attention chain with its surrounding
+    # layernorm/MLP elementwise ops, and at 17 tokens the extra HBM
+    # round-trips outweigh the in-kernel saving.  The layer stays
+    # available (fused_attention=True / V4L_BENCH_FUSED_ATTN=1) and its
+    # kernel remains golden-tested.  V4L_FUSED_UPDATE (update-path
+    # opt-in) was already closed as a net loss in r3: the custom_vjp
+    # backward is a recompute-based XLA VJP (the fused Pallas backward
+    # measured 0.09x and was retired — see ops/attention.py
+    # fused_transformer_layer_ad).
     if fused_attention is None:
-      fused_attention = jax.default_backend() in ("tpu", "axon")
+      fused_attention = False
     self.fused_attention = fused_attention
     fused_update = (fused_attention and
                     os.environ.get("V4L_FUSED_UPDATE", "") not in ("", "0")
