@@ -132,3 +132,37 @@ def test_shard_collector_state_placement():
   # normalizer stats and finished counters replicate
   assert cs.normalizer.mean.sharding.spec == P()
   assert cs.finished_count.sharding.spec == P()
+
+
+@pytest.mark.skipif(jax.device_count() < N_DEV,
+                    reason="needs the 8-device CPU mesh from conftest")
+def test_sharded_mpc_epoch_runs():
+  """The MPC env family (batched ADMM-MPC low-level inside the fused
+  rollout scan) must also shard over the env axis: one PPO train epoch
+  on A1MPCGymEnv with the env axis over the 8-device mesh, finite
+  metrics and mesh-placed collector state.  (The flagship dryrun covers
+  A1MoveGround; this pins the second env family, whose per-env state
+  carries QP/gait buffers.)"""
+  from vision4leg_tpu.envs.mpc_env import A1MPCGymEnv, MpcEnvConfig
+
+  env = A1MPCGymEnv(MpcEnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.3, 0.4),
+      time_step_s=0.001, num_action_repeat=5, policy_freq=20,
+      terrain_type="plane", target_vel=0.3, check_contact=False,
+      settle_steps=50, alive_reward=0.1))
+  module = StateActorCritic(action_dim=env.cfg.action_dim,
+                            hidden_shapes=(16, 16),
+                            append_hidden_shapes=(16, 16))
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, opt_epochs=1,
+                  batch_size=NUM_ENVS, epoch_frames=NUM_ENVS * 2,
+                  max_episode_frames=4, num_epochs=1)
+  mesh = mesh_lib.make_mesh()
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=NUM_ENVS,
+                   seed=0, logger=_NullLogger(),
+                   save_dir="/tmp/v4l_test_multichip", obs_norm=True,
+                   mesh=mesh)
+  ts, cs, metrics = agent._train_epoch(agent.train_state,
+                                       agent.collector_state,
+                                       jax.random.PRNGKey(0))
+  assert np.isfinite(float(metrics["Training/policy_loss"]))
+  assert np.isfinite(float(metrics["Training/avg_reward"]))
