@@ -153,8 +153,10 @@ class LocoTransformerActorCritic(nn.Module):
     """Tokenize once, run both transformer stacks (the conv
     tokenizer dominates; pi/v separately would run it twice).
     `fused=True` uses the Pallas fused layer (differentiable: custom_vjp
-    with a fused Pallas backward) — the rollout opts in by default on
-    TPU; the PPO update opts in via V4L_FUSED_UPDATE=1."""
+    with a recompute-based XLA backward) — OFF by default everywhere
+    since the round-4 epoch-level A/B showed the flax path composes
+    faster inside the rollout scan (agent.py fused_attention); opt in
+    via PPOAgent(fused_attention=True) / V4L_FUSED_UPDATE=1."""
     t0 = self._tokens(x)
     t = t0
     for layer in self.pf_layers:
