@@ -205,3 +205,65 @@ def test_vision_only_epoch_zero_proprio(tmp_path):
                                        jax.random.PRNGKey(0))
   assert float(metrics["diagnostics/obs_norm_var_max"]) == 0.0
   assert np.isfinite(float(metrics["Training/policy_loss"]))
+
+
+def test_time_based_checkpoint(tmp_path, monkeypatch):
+  """The wall-clock resume-point floor (agent.py train loop): with a
+  save_interval far beyond the run length but V4L_CKPT_SECS tiny, every
+  epoch past the first writes a full checkpoint — bounding kill+resume
+  replay loss under chip contention to ckpt_secs of wall-clock instead
+  of save_interval epochs.  Numbered snapshot files must stay on the
+  epoch schedule (none here)."""
+  monkeypatch.setenv("V4L_CKPT_SECS", "0.001")
+  env, meta = get_env("A1MoveGround", {
+      "obs_norm": True,
+      "env_build": {"motor_control_mode": "POSITION",
+                    "time_step_s": 0.0025, "num_action_repeat": 4,
+                    "diagonal_act": True,
+                    "clip_num": [0.05, 0.5, 0.5] * 4,
+                    "terrain_type": "plane"}})
+  module = StateActorCritic(action_dim=6, hidden_shapes=(16, 16),
+                            append_hidden_shapes=(16, 16))
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, opt_epochs=1, batch_size=8,
+                  epoch_frames=32, max_episode_frames=999, num_epochs=3)
+  logger = Logger("exp", "A1MoveGround", 0, {"p": 1}, str(tmp_path))
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4,
+                   seed=0, logger=logger,
+                   save_dir=osp.join(logger.work_dir, "model"),
+                   obs_norm=True, env_time_limit=20,
+                   eval_interval=10, save_interval=1000, num_eval_envs=2)
+  agent.train()
+  model_dir = osp.join(logger.work_dir, "model")
+  assert os.path.exists(osp.join(model_dir, "checkpoint"))
+  # no numbered epoch snapshots (save_interval never fired)
+  assert not [f for f in os.listdir(model_dir)
+              if f.startswith("model_pf_") and f[9:-5].isdigit()]
+  # the checkpoint is a usable resume point at the last-written epoch
+  agent2 = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4,
+                    seed=0, logger=logger,
+                    save_dir=osp.join(logger.work_dir, "model"),
+                    obs_norm=True, env_time_limit=20,
+                    eval_interval=10, save_interval=1000, num_eval_envs=2)
+  assert agent2.restore_checkpoint() == 3
+
+
+def test_ckpt_secs_disabled(tmp_path, monkeypatch):
+  """V4L_CKPT_SECS=0 disables the time trigger (ckpt_secs -> inf)."""
+  monkeypatch.setenv("V4L_CKPT_SECS", "0")
+  env, meta = get_env("A1MoveGround", {
+      "obs_norm": True,
+      "env_build": {"motor_control_mode": "POSITION",
+                    "time_step_s": 0.0025, "num_action_repeat": 4,
+                    "diagonal_act": True,
+                    "clip_num": [0.05, 0.5, 0.5] * 4,
+                    "terrain_type": "plane"}})
+  module = StateActorCritic(action_dim=6, hidden_shapes=(16, 16),
+                            append_hidden_shapes=(16, 16))
+  cfg = PPOConfig(plr=1e-3, vlr=1e-3, opt_epochs=1, batch_size=8,
+                  epoch_frames=32, max_episode_frames=999, num_epochs=1)
+  logger = Logger("exp", "A1MoveGround", 0, {"p": 1}, str(tmp_path))
+  agent = PPOAgent(env=env, ac_module=module, cfg=cfg, num_envs=4,
+                   seed=0, logger=logger,
+                   save_dir=osp.join(logger.work_dir, "model"),
+                   obs_norm=True, env_time_limit=20)
+  assert agent.ckpt_secs == np.inf

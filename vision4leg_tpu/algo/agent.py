@@ -128,6 +128,9 @@ class PPOAgent:
     self.save_dir = save_dir
     self.eval_interval = eval_interval
     self.save_interval = save_interval
+    # wall-clock floor between full resume checkpoints (see train());
+    # V4L_CKPT_SECS=0 disables the time-based trigger
+    self.ckpt_secs = float(os.environ.get("V4L_CKPT_SECS", "300")) or np.inf
     self.obs_norm = obs_norm
     self.mesh = mesh
     if mesh is not None and hasattr(env, "mesh"):
@@ -527,6 +530,7 @@ class PPOAgent:
     # identical schedule from the checkpointed key.
     key_sched = np.asarray(jax.jit(
         lambda k: jax.random.split(k, (cfg.num_epochs, 2)))(self.key))
+    last_ckpt = time.time()
     for epoch in range(start_epoch, cfg.num_epochs):
       t0 = time.time()
       k_up, k_ev = key_sched[epoch, 0], key_sched[epoch, 1]
@@ -574,6 +578,16 @@ class PPOAgent:
       if (epoch + 1) % self.save_interval == 0:
         self.snapshot(str(epoch + 1))
         self.save_checkpoint(epoch)
+        last_ckpt = time.time()
+      elif time.time() - last_ckpt >= self.ckpt_secs:
+        # Wall-clock checkpoint floor: under external chip contention an
+        # epoch can take minutes, so a kill+resume cycle that only has
+        # save_interval-boundary checkpoints replays up to save_interval
+        # epochs of work.  A time-based resume point (no snapshot files —
+        # those stay on the epoch schedule) bounds the replay loss to
+        # ckpt_secs of wall-clock instead.
+        self.save_checkpoint(epoch)
+        last_ckpt = time.time()
 
       self.logger.add_epoch_info(epoch, self.total_frames,
                                  time.time() - start, infos)
