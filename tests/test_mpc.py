@@ -305,3 +305,34 @@ def test_native_mpc_standing_all_robots():
     total_fz = float(-f[:, 2].sum())
     exp = expected_total_fz[name]
     assert abs(total_fz - exp) / exp < 0.02, (name, total_fz, exp)
+
+
+def test_admm_blockdiag_matches_dense():
+  """The block-diagonal ADMM specialization (_admm_box_qp_blockdiag) is
+  the same math as the generic dense solver — same Ruiz equilibration,
+  same adaptive-rho iteration — evaluated without materializing the
+  block-diagonal constraint matrix.  Random SPD QPs must agree to float
+  tolerance."""
+  from vision4leg_tpu.mpc.convex_mpc import (_admm_box_qp,
+                                             _admm_box_qp_blockdiag)
+  rng = np.random.RandomState(7)
+  for trial in range(3):
+    M, r, c = 8, 5, 3
+    n = M * c
+    G = rng.randn(n, n).astype(np.float32)
+    P_mat = G @ G.T + 0.1 * np.eye(n, dtype=np.float32)
+    q = rng.randn(n).astype(np.float32)
+    blocks = rng.randn(M, r, c).astype(np.float32)
+    lb = -np.abs(rng.randn(M * r)).astype(np.float32)
+    ub = np.abs(rng.randn(M * r)).astype(np.float32)
+    dense = np.zeros((M * r, n), np.float32)
+    for i in range(M):
+      dense[i * r:(i + 1) * r, i * c:(i + 1) * c] = blocks[i]
+    x_dense = np.array(_admm_box_qp(jnp.asarray(P_mat), jnp.asarray(q),
+                                    jnp.asarray(dense), jnp.asarray(lb),
+                                    jnp.asarray(ub), 100, 0.1, 1e-6))
+    x_blk = np.array(_admm_box_qp_blockdiag(
+        jnp.asarray(P_mat), jnp.asarray(q), jnp.asarray(blocks),
+        jnp.asarray(lb), jnp.asarray(ub), 100, 0.1, 1e-6))
+    np.testing.assert_allclose(x_blk, x_dense, rtol=1e-4, atol=1e-5,
+                               err_msg=f"trial {trial}")
