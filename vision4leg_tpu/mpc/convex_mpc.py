@@ -154,19 +154,34 @@ def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float,
   m = A.shape[0]
   scale = jnp.maximum(jnp.trace(P) / n, 1e-9)
   rho0 = rho * scale
-  sigma = sigma * scale
+  # f32 conditioning floor: ADMM's fixed point is sigma-independent (a
+  # proximal term), but the KKT solves' accuracy is not — when rho is
+  # driven small (inactive constraints), cond(K) ~ lam_max(P)/sigma.
+  # Floor sigma at 1e-6x a Gershgorin bound on lam_max: large enough to
+  # keep K invertible in f32 for near-singular condensed P (zero QP
+  # weights + tiny alpha give cond(P) ~ 1e8 on small-inertia robots),
+  # small enough not to slow convergence measurably.
+  lam_max = jnp.max(jnp.sum(jnp.abs(P), axis=1))
+  sigma = jnp.maximum(sigma * scale, 1e-6 * lam_max)
   n_outer = max(iters // adapt_every, 1)
 
   def factor(rho_v):
     K = P + sigma * jnp.eye(n) + rho_v * (A.T @ A)
-    chol = jax.scipy.linalg.cho_factor(K)
-    return jax.scipy.linalg.cho_solve(chol, jnp.eye(n))
+    # LU, not Cholesky: at cond(K) near 1/eps_f32 the f32 Cholesky can
+    # break down silently (loss of positive-definiteness to roundoff);
+    # partially-pivoted LU stays backward-stable there.
+    return K, jnp.linalg.inv(K)
 
-  def inner(Kinv, rho_v, x, z, y):
+  def inner(K, Kinv, rho_v, x, z, y):
     def body(carry, _):
       x, z, y = carry
       rhs = sigma * x - q + A.T @ (rho_v * z - y)
       x_new = Kinv @ rhs
+      # one iterative-refinement step: the explicit inverse alone leaves
+      # a cond(K)*eps solve residual that biases the f32 ADMM fixed
+      # point on ill-conditioned problems (tiny SRB inertias); the
+      # refinement squares that error away for two more matmuls.
+      x_new = x_new + Kinv @ (rhs - K @ x_new)
       Ax = A @ x_new
       z_new = jnp.clip(Ax + y / rho_v, lb, ub)
       y_new = y + rho_v * (Ax - z_new)
@@ -176,8 +191,8 @@ def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float,
 
   def outer(carry, _):
     x, z, y, rho_v = carry
-    Kinv = factor(rho_v)
-    x, z, y = inner(Kinv, rho_v, x, z, y)
+    K, Kinv = factor(rho_v)
+    x, z, y = inner(K, Kinv, rho_v, x, z, y)
     # residual balancing (OSQP sec. 5.2)
     Ax = A @ x
     r_prim = jnp.linalg.norm(Ax - z) / jnp.maximum(
@@ -185,8 +200,13 @@ def _admm_box_qp(P, q, A, lb, ub, iters: int, rho: float, sigma: float,
     r_dual = jnp.linalg.norm(P @ x + q + A.T @ y) / jnp.maximum(
         jnp.linalg.norm(q), 1e-6)
     ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-12))
-    rho_new = jnp.clip(rho_v * jnp.clip(ratio, 0.1, 10.0),
+    rho_sug = jnp.clip(rho_v * jnp.clip(ratio, 0.1, 10.0),
                        1e-6 * scale, 1e6 * scale)
+    # OSQP sec. 5.2 adapts rho only when the suggested change exceeds 5x
+    # — without the threshold, f32 residual noise near convergence makes
+    # rho random-walk and the iterates scatter on ill-conditioned QPs
+    big_change = jnp.maximum(rho_sug / rho_v, rho_v / rho_sug) > 5.0
+    rho_new = jnp.where(big_change, rho_sug, rho_v)
     return (x, z, y, rho_new), None
 
   x0 = jnp.zeros(n)
@@ -249,7 +269,15 @@ def _admm_box_qp_blockdiag(P, q, blocks, lb, ub, iters: int, rho: float,
   n = P.shape[0]
   scale = jnp.maximum(jnp.trace(P) / n, 1e-9)
   rho0 = rho * scale
-  sigma = sigma * scale
+  # f32 conditioning floor: ADMM's fixed point is sigma-independent (a
+  # proximal term), but the KKT solves' accuracy is not — when rho is
+  # driven small (inactive constraints), cond(K) ~ lam_max(P)/sigma.
+  # Floor sigma at 1e-6x a Gershgorin bound on lam_max: large enough to
+  # keep K invertible in f32 for near-singular condensed P (zero QP
+  # weights + tiny alpha give cond(P) ~ 1e8 on small-inertia robots),
+  # small enough not to slow convergence measurably.
+  lam_max = jnp.max(jnp.sum(jnp.abs(P), axis=1))
+  sigma = jnp.maximum(sigma * scale, 1e-6 * lam_max)
   n_outer = max(iters // adapt_every, 1)
   AtA = jnp.einsum("mij,mik->mjk", As, As)                # (M, c, c)
   bidx = jnp.arange(M)
@@ -263,14 +291,16 @@ def _admm_box_qp_blockdiag(P, q, blocks, lb, ub, iters: int, rho: float,
   def factor(rho_v):
     K = (P + sigma * jnp.eye(n)).reshape(M, c, M, c)
     K = K.at[bidx, :, bidx, :].add(rho_v * AtA).reshape(n, n)
-    chol = jax.scipy.linalg.cho_factor(K)
-    return jax.scipy.linalg.cho_solve(chol, jnp.eye(n))
+    # LU, not Cholesky — see _admm_box_qp.factor
+    return K, jnp.linalg.inv(K)
 
-  def inner(Kinv, rho_v, x, z, y):
+  def inner(K, Kinv, rho_v, x, z, y):
     def body(carry, _):
       x, z, y = carry
       rhs = sigma * x - q + at_mv(rho_v * z - y)
       x_new = Kinv @ rhs
+      # iterative refinement — see _admm_box_qp.inner
+      x_new = x_new + Kinv @ (rhs - K @ x_new)
       Ax = a_mv(x_new)
       z_new = jnp.clip(Ax + y / rho_v, lb, ub)
       y_new = y + rho_v * (Ax - z_new)
@@ -280,16 +310,21 @@ def _admm_box_qp_blockdiag(P, q, blocks, lb, ub, iters: int, rho: float,
 
   def outer(carry, _):
     x, z, y, rho_v = carry
-    Kinv = factor(rho_v)
-    x, z, y = inner(Kinv, rho_v, x, z, y)
+    K, Kinv = factor(rho_v)
+    x, z, y = inner(K, Kinv, rho_v, x, z, y)
     Ax = a_mv(x)
     r_prim = jnp.linalg.norm(Ax - z) / jnp.maximum(
         jnp.maximum(jnp.linalg.norm(Ax), jnp.linalg.norm(z)), 1e-6)
     r_dual = jnp.linalg.norm(P @ x + q + at_mv(y)) / jnp.maximum(
         jnp.linalg.norm(q), 1e-6)
     ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-12))
-    rho_new = jnp.clip(rho_v * jnp.clip(ratio, 0.1, 10.0),
+    rho_sug = jnp.clip(rho_v * jnp.clip(ratio, 0.1, 10.0),
                        1e-6 * scale, 1e6 * scale)
+    # OSQP sec. 5.2 adapts rho only when the suggested change exceeds 5x
+    # — without the threshold, f32 residual noise near convergence makes
+    # rho random-walk and the iterates scatter on ill-conditioned QPs
+    big_change = jnp.maximum(rho_sug / rho_v, rho_v / rho_sug) > 5.0
+    rho_new = jnp.where(big_change, rho_sug, rho_v)
     return (x, z, y, rho_new), None
 
   x0 = jnp.zeros(n)
@@ -365,14 +400,19 @@ def compute_contact_forces(
   inv_inertia_world = rot @ inv_inertia @ rot.T
   B = _b_matrix(1.0 / cfg.mass, inv_inertia_world, foot_world)
 
-  # ZOH discretization via expm([[A, B], [0, 0]] dt)
+  # ZOH discretization.  The reference computes expm([[A, B], [0, 0]] dt)
+  # numerically (CalculateExponentials :339-352, Pade-6).  But A is
+  # nilpotent of index 3 — it is pure integrator chains (rpy <- omega,
+  # pos <- vel, and A^2's single entry [5, 12] is the z <- gravity
+  # quadratic drift; A^3 = 0) — so the exponential has an EXACT closed
+  # form, a quadratic polynomial in A.  This removes a batched 133x133
+  # LU solve, the Pade branch chain (all branches execute under vmap),
+  # and the squaring scan from every controller tick.
   adim = 3 * n
-  AB = jnp.zeros((STATE_DIM + adim, STATE_DIM + adim))
-  AB = AB.at[:STATE_DIM, :STATE_DIM].set(A * dt)
-  AB = AB.at[:STATE_DIM, STATE_DIM:].set(B * dt)
-  ab_exp = jax.scipy.linalg.expm(AB)
-  A_exp = ab_exp[:STATE_DIM, :STATE_DIM]
-  B_exp = ab_exp[:STATE_DIM, STATE_DIM:]
+  A2 = A @ A
+  A_exp = jnp.eye(STATE_DIM) + dt * A + (dt * dt / 2.0) * A2
+  B_exp = (dt * jnp.eye(STATE_DIM) + (dt * dt / 2.0) * A
+           + (dt ** 3 / 6.0) * A2) @ B
 
   # condensed prediction matrices
   def a_power_scan(Ak, _):
