@@ -19,12 +19,59 @@ still).
 the reference stack on the GPU hardware it assumes (per-process smoke
 probe ~300-600 steps/s x 16 workers, env_builder.py:542-556).
 """
+import atexit
 import json
 import os
+import signal
+import sys
 import time
 
 REFERENCE_MEASURED_STEPS_PER_SEC = 9.9     # same host, measured (see above)
 REFERENCE_GPU_ESTIMATE_STEPS_PER_SEC = 3000.0
+
+# --- total wall-clock bound + die-loudly machinery (r4 postmortem:
+# BENCH_r04 was rc=124/parsed=null because the device-probe wait (up to
+# 900 s), contended re-measurements and 3x120 s contention retries summed
+# past the driver's timeout and the SIGTERM killed us before the JSON
+# line ever printed.  Now: every sleep/retry is budgeted against one
+# deadline, and SIGTERM/SIGINT/atexit print the best result seen so far
+# (honestly flagged "contended"/"warmup") instead of dying silent.) ---
+_DEADLINE = time.time() + float(os.environ.get("V4L_BENCH_DEADLINE_S", "1200"))
+_BEST: dict = {}          # best-so-far result payload (mutated in place)
+_EMITTED = False
+
+
+def _remaining() -> float:
+  return _DEADLINE - time.time()
+
+
+def _emit(final: bool = False) -> None:
+  """Print the ONE JSON line, exactly once, best-result-so-far."""
+  global _EMITTED
+  if _EMITTED:
+    return
+  _EMITTED = True
+  if not _BEST:
+    _BEST.update({
+        "metric": "locotransformer_ppo_env_steps_per_sec",
+        "value": None,
+        "unit": "env-steps/s (collect+update, thin-goal)",
+        "error": "killed before any measurement completed "
+                 "(device probe / compile did not finish in budget)",
+    })
+  if not final:
+    _BEST["killed_early"] = True
+  print(json.dumps(_BEST), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ARG001
+  _emit()
+  os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+atexit.register(_emit)
 
 # allow local CPU runs for debugging: V4L_TPU_PLATFORM=cpu python bench.py
 if os.environ.get("V4L_TPU_PLATFORM"):
@@ -63,15 +110,17 @@ def _wait_for_device(max_wait_s: float) -> None:
   from a broken benchmark.
   """
   import subprocess
-  import sys
   probe = ("import jax, jax.numpy as jnp; "
            "assert float(jnp.arange(8.0).sum()) == 28.0")
-  deadline = time.time() + max_wait_s
+  # the probe wait may not eat the whole bench budget: leave >=300 s for
+  # compile + measurement, whatever V4L_BENCH_TUNNEL_WAIT_S says
+  deadline = min(time.time() + max_wait_s, _DEADLINE - 300.0)
   attempt = 0
   while True:
     attempt += 1
     try:
-      r = subprocess.run([sys.executable, "-c", probe], timeout=180,
+      r = subprocess.run([sys.executable, "-c", probe],
+                         timeout=max(30, min(180, _remaining() - 120)),
                          capture_output=True)
       if r.returncode == 0:
         if attempt > 1:
@@ -81,13 +130,18 @@ def _wait_for_device(max_wait_s: float) -> None:
     except subprocess.TimeoutExpired:
       pass
     if time.time() > deadline:
-      raise SystemExit(
-          "bench: TPU tunnel unreachable (device probe failed for "
-          f"{max_wait_s:.0f}s) — infrastructure outage, not a framework "
-          "failure; rerun when the axon relay is back")
+      _BEST.update({
+          "metric": "locotransformer_ppo_env_steps_per_sec",
+          "value": None,
+          "unit": "env-steps/s (collect+update, thin-goal)",
+          "error": "TPU tunnel unreachable (device probe failed) — "
+                   "infrastructure outage, not a framework failure",
+      })
+      _emit(final=True)
+      raise SystemExit(1)
     print(f"device probe failed (attempt {attempt}); retrying...",
           file=sys.stderr)
-    time.sleep(60)
+    time.sleep(min(60, max(5, _remaining() - 330)))
 
 
 def main():
@@ -136,7 +190,32 @@ def main():
   # runs this); 16384 frames/epoch regardless, so only the T/E split —
   # not the measured work — changes.
   key = jax.random.PRNGKey(0)
-  import sys
+
+  def _record(steps_per_sec, contended, warmup, idle_ref, hbm_shared):
+    """Fold a measurement into the best-so-far payload (emitted on kill)."""
+    if _BEST.get("value") is not None and steps_per_sec <= _BEST["value"]:
+      return
+    _BEST.update({
+        "metric": "locotransformer_ppo_env_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": "env-steps/s (collect+update, thin-goal)",
+        "bf16_collection": use_bf16,
+        "fused_attention": agent.fused_attention,
+        "contended": bool(contended or hbm_shared),
+        "warmup_only": warmup,
+        "idle_reference": idle_ref,
+        "num_envs": num_envs,
+        "vs_baseline": round(
+            steps_per_sec / REFERENCE_MEASURED_STEPS_PER_SEC, 2),
+        "vs_gpu_estimate": round(
+            steps_per_sec / REFERENCE_GPU_ESTIMATE_STEPS_PER_SEC, 2),
+        "baseline_note": "vs_baseline: measured same-host reference learner "
+                         "upper bound 9.9 steps/s (runs/reference_baseline"
+                         ".json, torch CPU, 1 core); vs_gpu_estimate: the "
+                         "reference on its assumed GPU (~3000 steps/s)",
+    })
+    _BEST.pop("error", None)
+
   while True:
     try:
       agent = PPOAgent(env=env, ac_module=module, cfg=cfg,
@@ -146,12 +225,16 @@ def main():
                        fused_attention=fused_attn)
       # warm up: compile + the first couple of executions after
       # compilation run several times slower on this backend (executable
-      # paging); measure steady state only
+      # paging); measure steady state only.  The last warmup epoch is
+      # timed and recorded as a provisional ("warmup_only") result so a
+      # kill during the real measurement still emits a number.
       ts, cs = agent.train_state, agent.collector_state
       for w in range(3):
+        tw = time.time()
         ts, cs, m = agent._train_epoch(ts, cs,
                                        jax.random.fold_in(key, 1000 + w))
         jax.block_until_ready(m["Training/policy_loss"])
+        tw = time.time() - tw
       break
     except Exception as e:  # noqa: BLE001 — step down only on OOM
       if "RESOURCE_EXHAUSTED" not in str(e) or num_envs <= 128:
@@ -199,38 +282,40 @@ def main():
     pass
   hbm_shared = num_envs < int(os.environ.get("V4L_BENCH_ENVS", "1024"))
 
+  # provisional number from the timed warmup epoch — flagged warmup_only
+  # (post-compile executions run slow on this backend, so it understates)
+  warm_sps = epoch_frames / tw
+  _record(warm_sps, contended=(idle_ref is not None
+                               and warm_sps < 0.65 * idle_ref),
+          warmup=True, idle_ref=idle_ref, hbm_shared=hbm_shared)
+
   contended = False
   retries = int(os.environ.get("V4L_BENCH_RETRIES", "3"))
+  measure_cost = max(3 * tw, 10.0)  # estimate until measured once
   for attempt in range(retries + 1):
+    t_m = time.time()
     steps_per_sec = measure()
-    if idle_ref is None or steps_per_sec >= 0.65 * idle_ref:
+    measure_cost = time.time() - t_m
+    is_low = idle_ref is not None and steps_per_sec < 0.65 * idle_ref
+    _record(steps_per_sec, contended=is_low, warmup=False,
+            idle_ref=idle_ref, hbm_shared=hbm_shared)
+    if not is_low:
       break
     contended = True
-    if attempt < retries:
+    # retry only if the 120 s pause + another measurement fit the budget
+    if attempt < retries and _remaining() > 120 + measure_cost + 30:
       print(f"bench: {steps_per_sec:.0f} steps/s is <65% of the idle-chip "
             f"reference {idle_ref:.0f} — chip likely contended; retrying "
             f"in 120s ({attempt + 1}/{retries})", file=sys.stderr)
       time.sleep(120)
       contended = False
-  contended = contended or hbm_shared
-  print(json.dumps({
-      "metric": "locotransformer_ppo_env_steps_per_sec",
-      "value": round(steps_per_sec, 1),
-      "unit": "env-steps/s (collect+update, thin-goal)",
-      "bf16_collection": use_bf16,
-      "fused_attention": agent.fused_attention,
-      "contended": contended,
-      "idle_reference": idle_ref,
-      "num_envs": num_envs,
-      "vs_baseline": round(
-          steps_per_sec / REFERENCE_MEASURED_STEPS_PER_SEC, 2),
-      "vs_gpu_estimate": round(
-          steps_per_sec / REFERENCE_GPU_ESTIMATE_STEPS_PER_SEC, 2),
-      "baseline_note": "vs_baseline: measured same-host reference learner "
-                       "upper bound 9.9 steps/s (runs/reference_baseline"
-                       ".json, torch CPU, 1 core); vs_gpu_estimate: the "
-                       "reference on its assumed GPU (~3000 steps/s)",
-  }))
+    else:
+      if attempt < retries:
+        print("bench: contended but no budget left for a retry "
+              f"({_remaining():.0f}s remaining); emitting best-so-far",
+              file=sys.stderr)
+      break
+  _emit(final=True)
 
 
 if __name__ == "__main__":

@@ -107,13 +107,15 @@ def main():
     L = int(ep_len[e])
     p_end = pos[e, L - 1]
     fell = done_seen[e, -1] > 0
-    # last step at which x still advanced >1 cm over the following 50
-    # steps: the stall point
+    # stall point = LAST step at which x still advanced >1 cm over the
+    # following 50 steps (scanning backward from the episode end, so a
+    # policy that takes >50 steps to get moving — standing up, settling —
+    # is not reported as stalled at the spawn point)
     x = pos[e, :L, 0]
-    stall = L - 1
-    for t in range(0, max(L - 50, 1)):
-      if x[min(t + 50, L - 1)] - x[t] < 0.01:
-        stall = t
+    stall = 0
+    for t in range(max(L - 51, 0), -1, -1):
+      if x[min(t + 50, L - 1)] - x[t] >= 0.01:
+        stall = min(t + 50, L - 1)
         break
     print(f"  ep{e}: len {L:4d} ({'fall' if fell else 'timeout'})  "
           f"final x={p_end[0]:6.2f} y={p_end[1]:5.2f} z={p_end[2]:.2f}  "

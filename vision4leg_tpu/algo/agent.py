@@ -129,8 +129,14 @@ class PPOAgent:
     self.eval_interval = eval_interval
     self.save_interval = save_interval
     # wall-clock floor between full resume checkpoints (see train());
-    # V4L_CKPT_SECS=0 disables the time-based trigger
-    self.ckpt_secs = float(os.environ.get("V4L_CKPT_SECS", "300")) or np.inf
+    # V4L_CKPT_SECS<=0 (or a malformed value) disables the time-based
+    # trigger rather than crashing agent construction / checkpointing
+    # every epoch
+    try:
+      _ckpt_secs = float(os.environ.get("V4L_CKPT_SECS", "300"))
+    except ValueError:
+      _ckpt_secs = 300.0
+    self.ckpt_secs = _ckpt_secs if _ckpt_secs > 0 else np.inf
     self.obs_norm = obs_norm
     self.mesh = mesh
     if mesh is not None and hasattr(env, "mesh"):
@@ -353,6 +359,7 @@ class PPOAgent:
     collector (normalizer, env states, RNG) — a true resume point.  The
     reference only saves model weights (rl_algo.py:84-95, no resume path);
     this is the superset SURVEY.md 5 calls for."""
+    import shutil
     import orbax.checkpoint as ocp
     path = osp.join(osp.abspath(self.save_dir), "checkpoint")
     ckpt = {"train_state": self.train_state,
@@ -365,8 +372,24 @@ class PPOAgent:
     # on box-only terrains): pad them to 1 along the zero axis on save and
     # slice them back on restore using the template's shape
     ckpt = jax.tree.map(_pad_zero_size, ckpt)
+    # Crash-safe overwrite: save(force=True) rmtree's the existing
+    # checkpoint BEFORE writing, so a SIGKILL mid-save (the queue's
+    # stall-killer under chip contention) would leave NO valid resume
+    # point.  Instead write to a sibling dir (orbax itself finalizes via
+    # tmp+rename, so `new` only exists when complete), then swap with two
+    # atomic renames; restore_checkpoint picks up `checkpoint_new` /
+    # `checkpoint_old` if the crash lands between them.
+    new, old = path + "_new", path + "_old"
+    for stale in (new, old):
+      if osp.exists(stale):
+        shutil.rmtree(stale)
     with ocp.PyTreeCheckpointer() as ckptr:
-      ckptr.save(path, ckpt, force=True)
+      ckptr.save(new, ckpt)
+    if osp.exists(path):
+      os.rename(path, old)
+    os.rename(new, path)
+    if osp.exists(old):
+      shutil.rmtree(old)
 
   def _warm_start_from_snapshot(self) -> int:
     """Fallback resume when the orbax checkpoint is gone but the best
@@ -431,6 +454,13 @@ class PPOAgent:
     Falls back to a snapshot warm start when no checkpoint exists."""
     import orbax.checkpoint as ocp
     path = osp.join(osp.abspath(self.save_dir), "checkpoint")
+    if not osp.exists(path):
+      # a crash between save_checkpoint's two renames leaves the complete
+      # checkpoint under _new (or the previous one under _old)
+      for alt in (path + "_new", path + "_old"):
+        if osp.exists(alt):
+          os.rename(alt, path)
+          break
     if not osp.exists(path):
       return self._warm_start_from_snapshot()
     template = {"train_state": self.train_state,
