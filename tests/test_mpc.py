@@ -346,3 +346,52 @@ def test_admm_blockdiag_matches_dense():
         jnp.asarray(lb), jnp.asarray(ub), 100, 0.1, 1e-6))
     np.testing.assert_allclose(x_blk, x_dense, rtol=1e-4, atol=1e-5,
                                err_msg=f"trial {trial}")
+
+
+def test_warm_mpc_matches_cold_along_trajectory():
+  """The warm-started per-tick QP path (convex_mpc.compute_contact_forces
+  _warm: frozen canonical Ruiz scaling, per-env-step exact KKT inverse +
+  per-tick Newton-Schulz tracking, carried ADMM iterates) must stay close
+  to the cold adaptive-rho reference solve along a REAL rolled
+  trajectory — including across gait switches, where the carried duals
+  are most stale.  Tolerance matches the f32 determinacy band the cold
+  solver itself carries on the ill-conditioned a1 SRB case (see
+  test_convex_mpc_standing_all_robots' a1 row)."""
+  from vision4leg_tpu.envs.mpc_env import A1MPCGymEnv, MpcEnvConfig
+  from vision4leg_tpu.mpc import controllers as ctrl
+  from vision4leg_tpu.mpc import convex_mpc
+  from vision4leg_tpu.mpc import leg_kinematics as lk
+  from vision4leg_tpu.physics import maths
+
+  env = A1MPCGymEnv(MpcEnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.3, 0.4),
+      time_step_s=0.001, num_action_repeat=5, policy_freq=20,
+      terrain_type="plane", target_vel=0.3, check_contact=False,
+      settle_steps=100, alive_reward=0.1))
+  state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+  step_j = jax.jit(env.step)
+  act = jnp.array([0.3, 0.0])
+
+  errs = []
+  for _ in range(8):  # 0.8 s: crosses the first trot gait switches
+    rs, cs = state.robot, state.controller
+    rpy = maths.quat_to_rpy(rs.phys.quat)
+    rpy_rate = maths.quat_rotate_inv(rs.phys.quat, rs.phys.ang)
+    feet = lk.foot_positions_base_frame(rs.phys.joint_q)
+    contact_state = ((cs.desired_leg_state == 1)
+                     | (cs.desired_leg_state == 2)).astype(jnp.int32)
+    args = (jnp.zeros(1), ctrl.com_velocity_body(cs), rpy.at[2].set(0.0),
+            rpy_rate, contact_state, feet, jnp.full(4, 0.45),
+            jnp.array([0.0, 0.0, ctrl.MPC_BODY_HEIGHT]),
+            jnp.array([0.3, 0.0, 0.0]), jnp.zeros(3), jnp.zeros(3))
+    f_cold = np.asarray(convex_mpc.compute_contact_forces(env.mpc_cfg,
+                                                          *args))
+    kinv = convex_mpc.kkt_inverse(env.mpc_cfg, env.mpc_canon,
+                                  rpy.at[2].set(0.0), feet)
+    f_warm, _ = convex_mpc.compute_contact_forces_warm(
+        env.mpc_cfg, env.mpc_canon, cs.qp_warm._replace(kinv=kinv), *args)
+    errs.append(np.abs(f_cold - np.asarray(f_warm)).max()
+                / max(np.abs(f_cold).max(), 1.0))
+    state, _, rew, done, _ = step_j(state, act)
+    assert np.isfinite(float(rew)) and not bool(done)
+  assert max(errs) < 0.35, f"warm path drifted from cold solve: {errs}"

@@ -29,6 +29,7 @@ from vision4leg_tpu.envs import camera as cam
 from vision4leg_tpu.envs import tasks, terrain as terr
 from vision4leg_tpu.envs.env import EnvConfig, EnvState, A1GymEnv
 from vision4leg_tpu.mpc import controllers as ctrl
+from vision4leg_tpu.mpc import convex_mpc
 from vision4leg_tpu.mpc import leg_kinematics as lk
 from vision4leg_tpu.mpc.convex_mpc import MpcConfig
 from vision4leg_tpu.physics import engine, maths
@@ -88,6 +89,10 @@ class A1MPCGymEnv:
         inertia=tuple(float(x) for x in P.MPC_BODY_INERTIA),
         qp_weights=MPC_WEIGHTS,
         horizon=10, timestep=0.025, alpha=1e-5, admm_iters=40)
+    # frozen Ruiz scaling + canonical KKT inverse for the warm-started
+    # per-tick QP (convex_mpc.py warm-path block comment; the cold
+    # factorization was 89% of the env step on the v5e chip)
+    self.mpc_canon = convex_mpc.canonical_constants(self.mpc_cfg)
     self.gait_cfg = ctrl.GaitConfig()
 
   @property
@@ -129,7 +134,9 @@ class A1MPCGymEnv:
     rs = a1.init_robot_state(self.model, rs.phys)
 
     feet = lk.foot_positions_base_frame(rs.phys.joint_q)
-    controller = ctrl.init_controller_state(feet, rs.phys.joint_q)
+    controller = ctrl.init_controller_state(
+        feet, rs.phys.joint_q,
+        qp_warm=convex_mpc.init_warm_state(self.mpc_canon))
 
     frame_idx = jnp.arange(4, dtype=jnp.int32) * cfg.frame_extract
     state = MpcEnvState(
@@ -198,9 +205,9 @@ class A1MPCGymEnv:
     desired_speed = jnp.concatenate([lin_speed[:2], jnp.zeros(1)])
     cs, swing_q = ctrl.swing_action(cs, self.gait_cfg, rpy_rate[2],
                                     desired_speed, ang_speed, feet)
-    stance_tau, contact_state = ctrl.stance_action(
-        self.mpc_cfg, cs, rpy, rpy_rate, feet, rs.phys.joint_q,
-        desired_speed, ang_speed)
+    stance_tau, contact_state, cs = ctrl.stance_action_warm(
+        self.mpc_cfg, self.mpc_canon, cs, rpy, rpy_rate, feet,
+        rs.phys.joint_q, desired_speed, ang_speed)
 
     # hybrid command: swing joints PD to swing_q, stance joints feedforward
     stance_mask = jnp.repeat(contact_state.astype(jnp.float32), 3)
@@ -234,6 +241,16 @@ class A1MPCGymEnv:
 
     contact_fn = self._contact_fn(state.terrain, state.dyn,
                                   base_xy=state.robot.phys.pos[:2])
+
+    # refresh the warm solver's KKT inverse ONCE per env step (exact LU
+    # from the step-start pose); the per-tick Newton-Schulz then only
+    # tracks intra-step drift — see convex_mpc.py warm-path comment
+    rpy0 = maths.quat_to_rpy(state.robot.phys.quat)
+    feet0 = lk.foot_positions_base_frame(state.robot.phys.joint_q)
+    kinv = convex_mpc.kkt_inverse(self.mpc_cfg, self.mpc_canon,
+                                  rpy0.at[2].set(0.0), feet0)
+    state = state.replace(controller=state.controller.replace(
+        qp_warm=state.controller.qp_warm._replace(kinv=kinv)))
 
     def tick(state, _):
       return self._controller_tick(state, lin, ang, contact_fn), None

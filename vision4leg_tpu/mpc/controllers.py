@@ -20,7 +20,9 @@ import numpy as np
 from flax import struct
 
 from vision4leg_tpu.mpc import leg_kinematics as lk
-from vision4leg_tpu.mpc.convex_mpc import MpcConfig, compute_contact_forces
+from vision4leg_tpu.mpc.convex_mpc import (
+    CanonicalScaling, MpcConfig, WarmState, compute_contact_forces,
+    compute_contact_forces_warm)
 from vision4leg_tpu.robots import a1_params as P
 
 SWING, STANCE, EARLY_CONTACT, LOSE_CONTACT = 0, 1, 2, 3
@@ -54,10 +56,15 @@ class ControllerState:
   vel_window: jnp.ndarray                # (VEL_WINDOW, 3) base-vel history
   vel_count: jnp.ndarray                 # () int32
   swing_joint_angles: jnp.ndarray        # (12,) persisted swing targets
+  # warm-started QP state (convex_mpc.WarmState) or None when the cold
+  # per-tick solve is used
+  qp_warm: WarmState | None = None
 
 
 def init_controller_state(foot_positions: jnp.ndarray,
-                          joint_q: jnp.ndarray) -> ControllerState:
+                          joint_q: jnp.ndarray,
+                          qp_warm: WarmState | None = None
+                          ) -> ControllerState:
   return ControllerState(
       leg_state=jnp.asarray(INIT_LEG_STATE, jnp.int32),
       desired_leg_state=jnp.asarray(INIT_LEG_STATE, jnp.int32),
@@ -66,6 +73,7 @@ def init_controller_state(foot_positions: jnp.ndarray,
       vel_window=jnp.zeros((VEL_WINDOW, 3)),
       vel_count=jnp.zeros((), jnp.int32),
       swing_joint_angles=joint_q,
+      qp_warm=qp_warm,
   )
 
 
@@ -213,3 +221,37 @@ def stance_action(mpc_cfg: MpcConfig, cs: ControllerState, rpy, rpy_rate,
   # tau = f^T J per leg (minitaur.py:726-737 MapContactForceToJointTorques)
   torques = jnp.einsum("lj,lji->li", forces, jacs)   # (4, 3)
   return torques.reshape(-1), contact_state
+
+
+def stance_action_warm(mpc_cfg: MpcConfig, canon: CanonicalScaling,
+                       cs: ControllerState, rpy, rpy_rate, foot_positions,
+                       joint_q, desired_speed, desired_twisting_speed,
+                       friction: float = 0.45):
+  """stance_action on the warm-started per-tick QP path (the training
+  env's hot loop): carried ADMM iterates + Newton-Schulz-tracked KKT
+  inverse replace the per-tick factorization — see convex_mpc.py's
+  warm-path block comment.  Returns (torques, contact_state, cs') with
+  the updated warm state threaded through the ControllerState."""
+  contact_state = ((cs.desired_leg_state == STANCE)
+                   | (cs.desired_leg_state == EARLY_CONTACT)).astype(
+                       jnp.int32)
+  com_vel = com_velocity_body(cs)
+  rpy_yawless = rpy.at[2].set(0.0)
+  forces, warm = compute_contact_forces_warm(
+      mpc_cfg, canon, cs.qp_warm,
+      jnp.zeros(1),
+      com_vel,
+      rpy_yawless,
+      rpy_rate,
+      contact_state,
+      foot_positions,
+      jnp.full(4, friction),
+      jnp.array([0.0, 0.0, MPC_BODY_HEIGHT]),
+      jnp.concatenate([desired_speed[:2], jnp.zeros(1)]),
+      jnp.zeros(3),
+      jnp.array([0.0, 0.0, desired_twisting_speed]),
+      warm_iters=mpc_cfg.warm_iters, ns_iters=mpc_cfg.ns_iters,
+  )
+  jacs = lk.all_leg_jacobians(joint_q)
+  torques = jnp.einsum("lj,lji->li", forces, jacs)
+  return torques.reshape(-1), contact_state, cs.replace(qp_warm=warm)

@@ -51,6 +51,9 @@ class MpcConfig(NamedTuple):
   admm_iters: int = 50
   rho: float = 0.1
   sigma: float = 1e-6
+  # warm-started per-tick path (compute_contact_forces_warm)
+  warm_iters: int = 15
+  ns_iters: int = 1
 
 
 def _a_matrix(rpy):
@@ -335,8 +338,7 @@ def _admm_box_qp_blockdiag(P, q, blocks, lb, ub, iters: int, rho: float,
   return D * x
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def compute_contact_forces(
+def _build_qp(
     cfg: MpcConfig,
     com_position,            # (3,) or z-only usage: pass full, z used
     com_velocity,            # (3,) world
@@ -350,9 +352,9 @@ def compute_contact_forces(
     desired_com_rpy,         # (3,)
     desired_com_ang_vel,     # (3,)
 ):
-  """Returns contact forces (num_legs, 3), world frame (sign: force the
-  robot applies on the ground is -f; this returns the ground reaction
-  forces like the reference, consumed negated by the stance controller)."""
+  """Condensed-QP data (P, q, cone blocks, lb, ub) for one MPC problem —
+  shared by the cold solve (compute_contact_forces) and the warm-started
+  per-tick path (compute_contact_forces_warm)."""
   n = cfg.num_legs
   H = cfg.horizon
   dt = cfg.timestep
@@ -453,9 +455,230 @@ def compute_contact_forces(
       [jnp.zeros((H * n, 4)), (fz_min * cs)[:, None]], axis=-1)
   lb = lb_blk.reshape(-1)
   ub = ub_blk.reshape(-1)
+  return P, q, cone, lb, ub
 
-  u = _admm_box_qp_blockdiag(P, q, cone, lb, ub, cfg.admm_iters, cfg.rho,
-                             cfg.sigma)
+
+@functools.partial(jax.jit, static_argnums=0)
+def compute_contact_forces(cfg: MpcConfig, *state_args):
+  """Returns contact forces (num_legs, 3), world frame (sign: force the
+  robot applies on the ground is -f; this returns the ground reaction
+  forces like the reference, consumed negated by the stance controller).
+
+  Cold solve: full Ruiz equilibration + adaptive-rho ADMM + fresh KKT
+  factorization per call.  The training env uses the warm-started path
+  (compute_contact_forces_warm) instead, which this function remains the
+  accuracy reference for.
+
+  Matmul precision is pinned to HIGHEST throughout the solver: the TPU's
+  default bf16 matmul passes are fatal on these QPs — cond(K) ~ 1e6
+  after the sigma floor, so 8-bit-mantissa products in the KKT solves /
+  refinement steps turn the iteration into noise (measured round 5: the
+  warm path NaN'd at the first gait switch on the chip while bit-stable
+  on CPU)."""
+  with jax.default_matmul_precision("highest"):
+    P, q, cone, lb, ub = _build_qp(cfg, *state_args)
+    u = _admm_box_qp_blockdiag(P, q, cone, lb, ub, cfg.admm_iters,
+                               cfg.rho, cfg.sigma)
   # first-step forces; reference returns -qp_solution (ground reaction
   # convention flip happens at the caller, torque_stance_leg_controller)
-  return -u[: 3 * n].reshape(n, 3)
+  return -u[: 3 * cfg.num_legs].reshape(cfg.num_legs, 3)
+
+
+# ---------------------------------------------------------------------------
+# Warm-started per-tick path.
+#
+# Profiling (round 5, 128 envs on the v5e chip): one cold solve costs
+# 10.4 ms, of which 8.5 ms is the batched 120x120 `jnp.linalg.inv` (LU
+# pivoting is the worst primitive on the TPU), and the MPC env pays it
+# policy_freq=20 times per env step — 89% of the whole step.  The warm
+# path removes it using two structural facts:
+#   * The ill-conditioning Ruiz equilibration fixes is STRUCTURAL (B
+#     carries 1/inertia ~ 1e2-1e3 entries), not state-dependent — so the
+#     scaling D, E, c and the sigma/rho floors can be frozen per MpcConfig
+#     from a canonical standing problem (canonical_constants).
+#   * With the scaled space fixed, K = P_s + sigma I + rho A^T A drifts
+#     only through P_s (feet/rpy; A is constant, contact switches touch
+#     only the BOUNDS) — and K does not depend on the desired command or
+#     contact states at all, so ONE exact inverse per ENV STEP
+#     (kkt_inverse, from the step-start pose) serves all policy_freq
+#     ticks: per-tick Newton-Schulz (X <- X(2I - KX), pure matmuls on the
+#     MXU) then only has to track the tiny intra-step drift from an exact
+#     starting point.  (Carrying X across whole episodes does NOT work:
+#     cond(K) ~ 1e6 after the sigma floor, so O(1e-4) relative drift
+#     already gives ||I - K X|| > 1 and NS diverges — measured round 5.)
+#     The ADMM x/z/y iterates DO carry across ticks (same scaled basis),
+#     cutting warm iterations to cfg-controlled warm_iters.
+# The reference warm-starts the same way: OSQP's workspace reuse
+# (mpc_osqp.cc:705-810 UpdateMats vs Setup) keeps its factorization and
+# iterates across controller ticks.
+# ---------------------------------------------------------------------------
+class CanonicalScaling(NamedTuple):
+  D: jnp.ndarray        # (n,) variable scaling
+  E: jnp.ndarray        # (m,) constraint scaling
+  c: jnp.ndarray        # () cost scaling
+  sigma: jnp.ndarray    # () proximal weight (scaled space)
+  rho: jnp.ndarray      # () ADMM penalty (scaled space)
+  kinv0: jnp.ndarray    # (n, n) exact K^-1 of the canonical problem
+
+
+class WarmState(NamedTuple):
+  x: jnp.ndarray        # (n,) scaled primal iterate
+  z: jnp.ndarray        # (m,) scaled slack iterate
+  y: jnp.ndarray        # (m,) scaled dual iterate
+  kinv: jnp.ndarray     # (n, n) tracked K^-1 (scaled space)
+
+
+def _canonical_qp(cfg: MpcConfig):
+  """A canonical standing problem: nominal pose, all legs in stance."""
+  # nominal A1-class foot positions (base frame); exact values are
+  # uncritical — they only seed the scaling, which is structural
+  feet = jnp.array([[0.17, -0.13, -0.25], [0.17, 0.13, -0.25],
+                    [-0.17, -0.13, -0.25], [-0.17, 0.13, -0.25]],
+                   jnp.float32)[: cfg.num_legs]
+  z = jnp.array([0.0, 0.0, 0.25])
+  return _build_qp(
+      cfg, z, jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+      jnp.ones(cfg.num_legs), feet, jnp.full(cfg.num_legs, 0.45),
+      jnp.array([0.0, 0.0, 0.25]), jnp.zeros(3), jnp.zeros(3),
+      jnp.zeros(3))
+
+
+def canonical_constants(cfg: MpcConfig) -> CanonicalScaling:
+  """Frozen scaling + penalty constants + canonical K^-1 for the warm
+  path.  Computed once per MpcConfig on the host CPU backend (cheap, and
+  avoids a remote compile when the default backend is a TPU tunnel)."""
+  cpu = jax.local_devices(backend="cpu")[0]
+  with jax.default_device(cpu):
+    P, q, cone, lb, ub = _canonical_qp(cfg)
+    M, r, c_blk = cone.shape
+    n = P.shape[0]
+    # the same modified-Ruiz recursion as _ruiz_equilibrate_blockdiag,
+    # run here because we need E (that helper returns only D)
+    E = jnp.ones(M * r)
+    Dv = jnp.ones(n)
+    for _ in range(10):
+      Db = Dv.reshape(M, c_blk)
+      Eb = E.reshape(M, r)
+      Ps_i = Dv[:, None] * P * Dv[None, :]
+      As_i = Eb[:, :, None] * cone * Db[:, None, :]
+      col_a = jnp.max(jnp.abs(As_i), axis=1).reshape(-1)
+      col = jnp.maximum(jnp.max(jnp.abs(Ps_i), axis=0), col_a)
+      row = jnp.max(jnp.abs(As_i), axis=2).reshape(-1)
+      Dv = Dv / jnp.sqrt(jnp.maximum(col, 1e-12))
+      E = E / jnp.sqrt(jnp.maximum(row, 1e-12))
+    Ps_f = Dv[:, None] * P * Dv[None, :]
+    c = 1.0 / jnp.maximum(
+        jnp.maximum(jnp.mean(jnp.max(jnp.abs(Ps_f), axis=0)),
+                    jnp.max(jnp.abs(Dv * q))), 1e-12)
+    scale = jnp.maximum(jnp.trace(c * Ps_f) / n, 1e-9)
+    rho = cfg.rho * scale
+    lam_max = jnp.max(jnp.sum(jnp.abs(c * Ps_f), axis=1))
+    sigma = jnp.maximum(cfg.sigma * scale, 1e-6 * lam_max)
+    As_f = (E.reshape(M, r)[:, :, None] * cone
+            * Dv.reshape(M, c_blk)[:, None, :])
+    AtA = jnp.einsum("mij,mik->mjk", As_f, As_f)
+    bidx = jnp.arange(M)
+    K = (c * Ps_f + sigma * jnp.eye(n)).reshape(M, c_blk, M, c_blk)
+    K = K.at[bidx, :, bidx, :].add(rho * AtA).reshape(n, n)
+    kinv0 = jnp.linalg.inv(K)
+    out = CanonicalScaling(D=Dv, E=E, c=c, sigma=sigma, rho=rho,
+                           kinv0=kinv0)
+  return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), out)
+
+
+def init_warm_state(canon: CanonicalScaling) -> WarmState:
+  n = canon.D.shape[0]
+  m = canon.E.shape[0]
+  return WarmState(x=jnp.zeros(n), z=jnp.zeros(m), y=jnp.zeros(m),
+                   kinv=jnp.asarray(canon.kinv0))
+
+
+def _scaled_kkt(canon: CanonicalScaling, P, blocks):
+  """K = P_s + sigma I + rho A^T A in the frozen canonical scaled space."""
+  D, c = jnp.asarray(canon.D), jnp.asarray(canon.c)
+  M, r, cb = blocks.shape
+  n = P.shape[0]
+  Ps = c * (D[:, None] * P * D[None, :])
+  As = (jnp.asarray(canon.E).reshape(M, r)[:, :, None] * blocks
+        * D.reshape(M, cb)[:, None, :])
+  AtA = jnp.einsum("mij,mik->mjk", As, As)
+  bidx = jnp.arange(M)
+  K = (Ps + jnp.asarray(canon.sigma) * jnp.eye(n)).reshape(M, cb, M, cb)
+  K = K.at[bidx, :, bidx, :].add(jnp.asarray(canon.rho) * AtA)
+  return K.reshape(n, n), As
+
+
+def kkt_inverse(cfg: MpcConfig, canon: CanonicalScaling, rpy_yawless,
+                foot_positions_body, friction: float = 0.45):
+  """Exact scaled-space KKT inverse for the CURRENT pose.
+
+  K depends only on feet/rpy (through B_qp -> P) — not on contact states,
+  bounds, or the desired command — so the env computes this ONCE per env
+  step and every per-tick warm solve tracks the small intra-step drift
+  with Newton-Schulz from this exact start."""
+  n = cfg.num_legs
+  with jax.default_matmul_precision("highest"):
+    P, _, cone, _, _ = _build_qp(
+        cfg, jnp.array([0.0, 0.0, 0.25]), jnp.zeros(3), rpy_yawless,
+        jnp.zeros(3), jnp.ones(n), foot_positions_body,
+        jnp.full(n, friction), jnp.array([0.0, 0.0, 0.25]), jnp.zeros(3),
+        jnp.zeros(3), jnp.zeros(3))
+    K, _ = _scaled_kkt(canon, P, cone)
+    return jnp.linalg.inv(K)
+
+
+def _solve_warm(canon: CanonicalScaling, P, q, blocks, lb, ub,
+                warm: WarmState, iters: int, ns_iters: int):
+  """Fixed-scaling ADMM with a Newton-Schulz-tracked KKT inverse.
+
+  Same splitting as _admm_box_qp_blockdiag, but: scaling/penalties frozen
+  (canon), no per-call Ruiz, no factorization — warm.kinv is refined by
+  `ns_iters` Newton-Schulz steps (quadratic convergence; per-tick K drift
+  is tiny) and the x-update keeps the one iterative-refinement step, so a
+  slightly stale inverse costs accuracy O(||I-KX||^2) only."""
+  D, E, c = (jnp.asarray(canon.D), jnp.asarray(canon.E),
+             jnp.asarray(canon.c))
+  sigma, rho = jnp.asarray(canon.sigma), jnp.asarray(canon.rho)
+  M, r, cb = blocks.shape
+  n = P.shape[0]
+  qs = c * (D * q)
+  lbs, ubs = E * lb, E * ub
+  K, As = _scaled_kkt(canon, P, blocks)
+
+  X = warm.kinv
+  for _ in range(ns_iters):          # X <- X + X(I - KX): pure matmuls
+    X = X + X @ (jnp.eye(n) - K @ X)
+
+  def a_mv(x):
+    return jnp.einsum("mij,mj->mi", As, x.reshape(M, cb)).reshape(-1)
+
+  def at_mv(w):
+    return jnp.einsum("mij,mi->mj", As, w.reshape(M, r)).reshape(-1)
+
+  def body(carry, _):
+    x, z, y = carry
+    rhs = sigma * x - qs + at_mv(rho * z - y)
+    x_new = X @ rhs
+    x_new = x_new + X @ (rhs - K @ x_new)   # iterative refinement
+    Ax = a_mv(x_new)
+    z_new = jnp.clip(Ax + y / rho, lbs, ubs)
+    y_new = y + rho * (Ax - z_new)
+    return (x_new, z_new, y_new), None
+
+  z0 = jnp.clip(warm.z, lbs, ubs)          # bounds may have switched
+  (x, z, y), _ = jax.lax.scan(body, (warm.x, z0, warm.y), None,
+                              length=iters)
+  return D * x, WarmState(x=x, z=z, y=y, kinv=X)
+
+
+def compute_contact_forces_warm(cfg: MpcConfig, canon: CanonicalScaling,
+                                warm: WarmState, *state_args,
+                                warm_iters: int = 15, ns_iters: int = 2):
+  """Warm-started compute_contact_forces: same QP, frozen canonical
+  scaling, carried iterates + tracked K^-1.  Returns (forces, warm').
+  HIGHEST matmul precision for the same reason as the cold solve."""
+  with jax.default_matmul_precision("highest"):
+    P, q, cone, lb, ub = _build_qp(cfg, *state_args)
+    u, warm = _solve_warm(canon, P, q, cone, lb, ub, warm, warm_iters,
+                          ns_iters)
+  return -u[: 3 * cfg.num_legs].reshape(cfg.num_legs, 3), warm
