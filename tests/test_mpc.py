@@ -1,5 +1,6 @@
 """MPC stack tests: leg kinematics round trips and cross-checks against the
 physics-engine FK, plus convex-MPC standing forces."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -395,3 +396,45 @@ def test_warm_mpc_matches_cold_along_trajectory():
     state, _, rew, done, _ = step_j(state, act)
     assert np.isfinite(float(rew)) and not bool(done)
   assert max(errs) < 0.35, f"warm path drifted from cold solve: {errs}"
+
+
+def test_convex_mpc_a1_x64_pins_tight():
+  """ADVICE r4: the a1 row above carries an honest ~35% f32 band (its
+  condensed P keeps cond ~1.5e8 after equilibration).  This companion
+  pins the SAME JAX solver under JAX_ENABLE_X64 tightly to the x64 ADMM
+  fixed point (126.5 N), so f32 rounding stays the ONLY loosened axis —
+  any structural solver regression shows up here at 2%.  Runs in a
+  subprocess because x64 is a process-global switch."""
+  import subprocess
+  import sys
+  code = r'''
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from vision4leg_tpu.mpc.convex_mpc import MpcConfig, compute_contact_forces
+from vision4leg_tpu.mpc import robot_params
+
+rp = robot_params.ROBOTS["a1"]
+cfg = MpcConfig(mass=rp.body_mass,
+                inertia=tuple(float(x) for x in rp.body_inertia),
+                qp_weights=(5, 5, 0.2, 0, 0, 10, 0., 0., 1., 1., 1., 0., 0),
+                admm_iters=200)
+feet = np.asarray([[hx, hy, -rp.body_height] for hx, hy, _ in rp.hip_positions])
+forces = np.array(compute_contact_forces(
+    cfg, jnp.array([0.0, 0.0, rp.body_height]),
+    jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), jnp.ones(4, jnp.int32),
+    jnp.asarray(feet), jnp.full(4, 0.45),
+    jnp.array([0.0, 0.0, rp.body_height]),
+    jnp.zeros(3), jnp.zeros(3), jnp.zeros(3)))
+total_fz = float(-forces[:, 2].sum())
+assert abs(total_fz - 126.5) / 126.5 < 0.02, total_fz
+print(f"OK {total_fz:.2f}")
+'''
+  r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                     text=True, timeout=600,
+                     cwd=os.path.dirname(os.path.dirname(
+                         os.path.abspath(__file__))))
+  assert r.returncode == 0, (r.stdout, r.stderr)
+  assert r.stdout.startswith("OK"), r.stdout
