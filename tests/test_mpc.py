@@ -438,3 +438,53 @@ print(f"OK {total_fz:.2f}")
                          os.path.abspath(__file__))))
   assert r.returncode == 0, (r.stdout, r.stderr)
   assert r.stdout.startswith("OK"), r.stdout
+
+
+def test_warm_mpc_survives_degenerate_poses():
+  """Round-5 incident: a FALLEN robot (pitch ~ +-pi/2, where tan in the
+  A-matrix explodes) NaN'd the warm QP, the NaN reward entered the PPO
+  buffer, and one epoch later the whole run was NaN.  The solver now
+  clamps pitch, falls back to the canonical inverse on a singular K,
+  self-heals diverged iterates, and box-clamps the output — so every
+  output here must be finite, for poses far outside the controller's
+  design envelope and even for NaN-poisoned warm state."""
+  from vision4leg_tpu.mpc import controllers as ctrl
+  from vision4leg_tpu.mpc import convex_mpc
+
+  cfg = convex_mpc.MpcConfig(
+      mass=12.5, inertia=(0.0017, 0, 0, 0, 0.0057, 0, 0, 0, 0.0064),
+      qp_weights=(5, 5, 0.2, 0, 0, 10, 0., 0., 1., 1., 1., 0., 0))
+  canon = convex_mpc.canonical_constants(cfg)
+  feet_nom = jnp.array([[0.17, -0.13, -0.25], [0.17, 0.13, -0.25],
+                        [-0.17, -0.13, -0.25], [-0.17, 0.13, -0.25]])
+  poses = [
+      jnp.array([0.0, 1.5707, 0.0]),      # face-plant: pitch at pi/2
+      jnp.array([3.1, -1.57, 0.0]),       # upside down + pitched
+      jnp.array([0.0, 0.0, 0.0]),         # nominal
+  ]
+  warm = convex_mpc.init_warm_state(canon)
+  for rpy in poses:
+    kinv = convex_mpc.kkt_inverse(cfg, canon, rpy, feet_nom)
+    assert np.all(np.isfinite(np.asarray(kinv))), rpy
+    f, warm2 = convex_mpc.compute_contact_forces_warm(
+        cfg, canon, warm._replace(kinv=kinv),
+        jnp.zeros(1), jnp.array([0.0, 0.0, -3.0]), rpy,
+        jnp.array([9.0, -7.0, 2.0]), jnp.ones(4, jnp.int32), feet_nom,
+        jnp.full(4, 0.45), jnp.array([0.0, 0.0, 0.25]),
+        jnp.array([0.3, 0.0, 0.0]), jnp.zeros(3), jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(f))), (rpy, f)
+    fmax = cfg.mass * 9.8 * 10.0 * 2.0
+    assert np.abs(np.asarray(f)).max() <= fmax + 1e-3
+
+  # NaN-poisoned carried state must self-heal to finite zero forces
+  bad = convex_mpc.WarmState(
+      x=jnp.full_like(warm.x, jnp.nan), z=warm.z, y=warm.y,
+      kinv=jnp.asarray(canon.kinv0))
+  f, healed = convex_mpc.compute_contact_forces_warm(
+      cfg, canon, bad,
+      jnp.zeros(1), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+      jnp.ones(4, jnp.int32), feet_nom, jnp.full(4, 0.45),
+      jnp.array([0.0, 0.0, 0.25]), jnp.zeros(3), jnp.zeros(3),
+      jnp.zeros(3))
+  assert np.all(np.isfinite(np.asarray(f)))
+  assert np.all(np.isfinite(np.asarray(healed.x)))

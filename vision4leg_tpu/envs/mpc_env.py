@@ -280,6 +280,16 @@ class A1MPCGymEnv:
     rew, trackers = tasks.reward(
         task_cfg, task_state, quat_xyzw, state.robot.observed_torques,
         is_done, state.terrain.subgoals, state.terrain.goal_pos)
+    # NaN kill-switch, TPU-native form of the reference collector's
+    # guard (torchrl/collector/base.py:68-70 asserts and dies on NaN;
+    # under jit we terminate + sanitize instead): a diverged physics or
+    # controller state ends the episode with the fall penalty and a
+    # finite reward, so one bad env cannot poison the PPO update buffer.
+    # tasks.done already fires on nonfinite pos/quat; the reward can
+    # still be NaN through observed_torques before the reset lands.
+    is_done = is_done | ~jnp.isfinite(rew)
+    rew = jnp.where(jnp.isfinite(rew), rew,
+                    jnp.asarray(cfg.fall_reward, rew.dtype))
     state = state.replace(
         task=task_state.replace(subgoal_trackers=trackers),
         step_counter=state.step_counter + 1)
@@ -289,4 +299,9 @@ class A1MPCGymEnv:
       captured = self._capture_frame(state, reset=False)
       state = jax.tree.map(lambda n, o: jnp.where(do_capture, n, o),
                            captured, state)
-    return state, self._observation(state), rew, is_done, {}
+    # same kill-switch for the observation: a NaN obs in the trajectory
+    # buffer reaches the PPO update's log-prob and poisons the params
+    # even though the env itself resets next step
+    obs = self._observation(state)
+    obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+    return state, obs, rew, is_done, {}

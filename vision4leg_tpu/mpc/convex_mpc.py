@@ -58,7 +58,12 @@ class MpcConfig(NamedTuple):
 
 def _a_matrix(rpy):
   cy, sy = jnp.cos(rpy[2]), jnp.sin(rpy[2])
-  cp, tp = jnp.cos(rpy[1]), jnp.tan(rpy[1])
+  # clamp pitch: tan/sec blow up at +-pi/2 (a FALLEN robot mid-episode
+  # reaches that), and the exploded A cascades into a NaN KKT system —
+  # an MPC solve at >80 deg pitch is physically meaningless anyway, the
+  # episode is terminating
+  p = jnp.clip(rpy[1], -1.4, 1.4)
+  cp, tp = jnp.cos(p), jnp.tan(p)
   R = jnp.array([[cy / cp, sy / cp, 0.0],
                  [-sy, cy, 0.0],
                  [cy * tp, sy * tp, 1.0]])
@@ -624,7 +629,12 @@ def kkt_inverse(cfg: MpcConfig, canon: CanonicalScaling, rpy_yawless,
         jnp.full(n, friction), jnp.array([0.0, 0.0, 0.25]), jnp.zeros(3),
         jnp.zeros(3), jnp.zeros(3))
     K, _ = _scaled_kkt(canon, P, cone)
-    return jnp.linalg.inv(K)
+    X = jnp.linalg.inv(K)
+    # a degenerate pose (fallen robot) can make K singular in f32 — fall
+    # back to the canonical inverse rather than propagating NaN into the
+    # whole tick scan
+    ok = jnp.all(jnp.isfinite(X))
+    return jnp.where(ok, X, jnp.asarray(canon.kinv0))
 
 
 def _solve_warm(canon: CanonicalScaling, P, q, blocks, lb, ub,
@@ -668,6 +678,15 @@ def _solve_warm(canon: CanonicalScaling, P, q, blocks, lb, ub,
   z0 = jnp.clip(warm.z, lbs, ubs)          # bounds may have switched
   (x, z, y), _ = jax.lax.scan(body, (warm.x, z0, warm.y), None,
                               length=iters)
+  # self-heal on divergence (extreme pose, singular K): zero forces for
+  # this tick, reset the carried iterates and inverse — the next env
+  # step recomputes an exact K^-1 and the episode is terminating anyway
+  ok = (jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(z))
+        & jnp.all(jnp.isfinite(y)) & jnp.all(jnp.isfinite(X)))
+  x = jnp.where(ok, x, 0.0)
+  z = jnp.where(ok, z, 0.0)
+  y = jnp.where(ok, y, 0.0)
+  X = jnp.where(ok, X, jnp.asarray(canon.kinv0))
   return D * x, WarmState(x=x, z=z, y=y, kinv=X)
 
 
@@ -681,4 +700,9 @@ def compute_contact_forces_warm(cfg: MpcConfig, canon: CanonicalScaling,
     P, q, cone, lb, ub = _build_qp(cfg, *state_args)
     u, warm = _solve_warm(canon, P, q, cone, lb, ub, warm, warm_iters,
                           ns_iters)
+  # belt-and-braces: the true solution always lies in the friction box,
+  # so clamping never harms a correct solve but bounds a transiently
+  # diverging one before it reaches the physics
+  fmax = cfg.mass * GRAVITY * KMAX_SCALE * 2.0
+  u = jnp.clip(u, -fmax, fmax)
   return -u[: 3 * cfg.num_legs].reshape(cfg.num_legs, 3), warm
