@@ -488,3 +488,35 @@ def test_warm_mpc_survives_degenerate_poses():
       jnp.zeros(3))
   assert np.all(np.isfinite(np.asarray(f)))
   assert np.all(np.isfinite(np.asarray(healed.x)))
+
+
+def test_mpc_step_batch_matches_vmap_step():
+  """step_batch (the collector's batched path: hybrid-control physics
+  window + vmapped controller stack) must be semantically equivalent to
+  jax.vmap(step).  On CPU the window takes the identical-math XLA
+  fallback, so the only tolerated deltas are solver op-order (window
+  uses CG, the per-env engine Cholesky) through one env step."""
+  from vision4leg_tpu.envs.mpc_env import A1MPCGymEnv, MpcEnvConfig
+  env = A1MPCGymEnv(MpcEnvConfig(
+      motor_control_mode="POSITION", clip_num=(0.3, 0.4),
+      time_step_s=0.001, num_action_repeat=5, policy_freq=5,
+      terrain_type="random_blocks_sparse", target_vel=0.3,
+      check_contact=True, settle_steps=50, alive_reward=-0.05,
+      random_init_range=0.5, get_image=False))
+  E = 4
+  keys = jax.random.split(jax.random.PRNGKey(3), E)
+  states, obs0 = jax.jit(jax.vmap(env.reset))(keys)
+  acts = jnp.tile(jnp.array([[0.3, 0.1]]), (E, 1))
+
+  sa, oa, ra, da, _ = jax.jit(jax.vmap(env.step))(states, acts)
+  sb, ob, rb, db, _ = jax.jit(env.step_batch)(states, acts)
+
+  np.testing.assert_allclose(np.asarray(sa.robot.phys.pos),
+                             np.asarray(sb.robot.phys.pos), atol=2e-3)
+  np.testing.assert_allclose(np.asarray(sa.robot.phys.joint_q),
+                             np.asarray(sb.robot.phys.joint_q), atol=5e-3)
+  np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=5e-3)
+  np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=1e-2)
+  np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+  np.testing.assert_allclose(np.asarray(sa.current_time),
+                             np.asarray(sb.current_time), atol=1e-6)

@@ -103,7 +103,10 @@ class A1MPCGymEnv:
     return A1GymEnv._contact_fn(self, terrain, dyn, base_xy)
 
   _pruned_boxes = A1GymEnv._pruned_boxes
+  _pruned_spheres = A1GymEnv._pruned_spheres
   NEAR_BOXES = A1GymEnv.NEAR_BOXES
+  kernel_capable = A1GymEnv.kernel_capable
+  mesh = None
 
   # ------------------------------------------------------------------
   def reset(self, key: jax.Array) -> Tuple[MpcEnvState, jnp.ndarray]:
@@ -305,3 +308,153 @@ class A1MPCGymEnv:
     obs = self._observation(state)
     obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
     return state, obs, rew, is_done, {}
+
+  # ------------------------------------------------------------------
+  def step_batch(self, states: MpcEnvState, actions: jnp.ndarray):
+    """Batched MPC env step (leading env axis on every leaf).
+
+    Semantically equivalent to jax.vmap(self.step) — the rollout
+    collector calls this instead so each tick's action-repeat physics
+    window runs as ONE Pallas TPU kernel over all envs
+    (ops/physics_kernel.py hybrid mode: stance legs apply the MPC
+    feedforward torque, swing legs track the Raibert targets under PD)
+    instead of ~300 tiny vmapped XLA ops per substep.  The controller
+    stack (gait/estimator/swing/warm-QP stance) stays vmapped XLA
+    between windows.  Non-flat terrains fall back to the vmapped
+    per-env step.  Parity: tests/test_mpc.py::
+    test_mpc_step_batch_matches_vmap_step."""
+    from vision4leg_tpu.ops import physics_kernel
+    cfg = self.cfg
+    if not self.kernel_capable:
+      return jax.vmap(self.step)(states, actions)
+
+    E = actions.shape[0]
+    acts = jnp.clip(actions, self.action_low, self.action_high)
+    keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
+    states = states.replace(key=keys[:, 0], last_action=acts,
+                            last_base_pos=states.robot.phys.pos)
+    lin = jnp.maximum(
+        jnp.pad(acts[:, :1], ((0, 0), (0, 2))), -0.05)       # (E, 3) :483
+    ang = acts[:, 1]
+
+    boxes = jax.vmap(self._pruned_boxes)(states.terrain.boxes,
+                                         states.robot.phys.pos[:, :2])
+    spheres = states.terrain.obstacle_spheres
+    if spheres is None:
+      spheres = jnp.zeros((E, 0, 5))
+    else:
+      spheres = jax.vmap(self._pruned_spheres)(
+          spheres, states.robot.phys.pos[:, :2])
+    fric_ground = states.dyn.lateral_friction * cfg.fric_coeff[0]
+    fric_box = states.dyn.lateral_friction
+
+    # per-step exact KKT inverse refresh (see step())
+    rpy0 = jax.vmap(maths.quat_to_rpy)(states.robot.phys.quat)
+    feet0 = jax.vmap(lk.foot_positions_base_frame)(states.robot.phys.joint_q)
+    kinv = jax.vmap(lambda r, f: convex_mpc.kkt_inverse(
+        self.mpc_cfg, self.mpc_canon, r.at[2].set(0.0), f))(rpy0, feet0)
+    cs0 = states.controller.replace(
+        qp_warm=states.controller.qp_warm._replace(kinv=kinv))
+
+    # start-of-step contact read (the first tick's gait input; later
+    # ticks reuse the window's post-state penetration, which IS the
+    # next tick's start-of-tick world)
+    def _pen_now(rs, terrain, dyn):
+      kin = engine.fwd_kinematics(self.model, rs.phys)
+      cpos, cvel, _ = engine.contact_points_world(self.model, rs.phys, kin)
+      cfn = self._contact_fn(terrain, dyn, base_xy=rs.phys.pos[:2])
+      _, pen = cfn(cpos, cvel, self.model.cp_radius)
+      return pen
+    pen0 = jax.vmap(_pen_now)(states.robot, states.terrain, states.dyn)
+
+    sharded = self.mesh is not None and len(self.mesh.devices.flat) > 1
+    n_sub = cfg.num_action_repeat * cfg.substeps
+
+    def window(rs_in, cmd_in, dyn_in, b_in, s_in, fg_in, fb_in, tff, tmk):
+      return physics_kernel.robot_window_pallas(
+          self.model, rs_in, cmd_in, dyn_in, b_in, s_in, fg_in, fb_in,
+          n_sub, False, force_kernel=sharded, tau_ff=tff, tau_mask=tmk)
+
+    if sharded:
+      from jax.experimental.shard_map import shard_map
+      from jax.sharding import PartitionSpec as PS
+      axis = self.mesh.axis_names[0]
+      spec = PS(axis)
+      window = shard_map(
+          window, mesh=self.mesh,
+          in_specs=(jax.tree.map(lambda _: spec, states.robot), spec,
+                    jax.tree.map(lambda _: spec, states.dyn),
+                    spec, spec, spec, spec, spec, spec),
+          out_specs=(jax.tree.map(lambda _: spec, states.robot), spec),
+          check_rep=False)
+
+    def tick(carry, _):
+      rs, cs, t, pen = carry
+      foot_contacts = jnp.max(pen[:, :4], axis=-1) > 0.0      # (E, 4)
+      cs = jax.vmap(lambda c, t_, fc: ctrl.gait_update(
+          self.gait_cfg, c, t_, fc))(cs, t, foot_contacts)
+      vel_body = jax.vmap(maths.quat_rotate_inv)(rs.phys.quat, rs.phys.lin)
+      cs = jax.vmap(ctrl.estimator_update)(cs, vel_body)
+      rpy = jax.vmap(maths.quat_to_rpy)(rs.phys.quat)
+      rpy_rate = jax.vmap(maths.quat_rotate_inv)(rs.phys.quat, rs.phys.ang)
+      feet = jax.vmap(lk.foot_positions_base_frame)(rs.phys.joint_q)
+      cs, swing_q = jax.vmap(
+          lambda c, yr, l, a, f: ctrl.swing_action(
+              c, self.gait_cfg, yr, l, a, f))(
+          cs, rpy_rate[:, 2], lin, ang, feet)
+      stance_tau, contact_state, cs = jax.vmap(
+          lambda c, r, rr, f, q, l, a: ctrl.stance_action_warm(
+              self.mpc_cfg, self.mpc_canon, c, r, rr, f, q, l, a))(
+          cs, rpy, rpy_rate, feet, rs.phys.joint_q, lin, ang)
+      stance_mask = jnp.repeat(contact_state.astype(jnp.float32), 3,
+                               axis=-1)                       # (E, 12)
+      rs, pen = window(rs, swing_q, states.dyn, boxes, spheres,
+                       fric_ground, fric_box, stance_tau, stance_mask)
+      return (rs, cs, t + cfg.num_action_repeat * cfg.time_step_s,
+              pen), None
+
+    (rs, cs, t, pen), _ = jax.lax.scan(
+        tick, (states.robot, cs0, states.current_time, pen0), None,
+        length=cfg.policy_freq)
+    states = states.replace(robot=rs, controller=cs, current_time=t)
+
+    task_state = jax.vmap(tasks.update)(states.task, rs.phys.pos)
+    nonfoot = (jnp.any((pen[..., 0] > 0)
+                       & (self.model.cp_is_foot < 0.5)[None], axis=-1)
+               | jnp.any(pen[..., 1] > 0, axis=-1))
+    task_cfg = tasks.TaskConfig(
+        goal=cfg.goal, z_constrain=cfg.z_constrain,
+        other_direction_penalty=cfg.other_direction_penalty,
+        z_penalty=cfg.z_penalty, time_step_s=cfg.time_step_s,
+        num_action_repeat=cfg.num_action_repeat * cfg.policy_freq,
+        alive_reward=cfg.alive_reward, fall_reward=cfg.fall_reward,
+        target_vel=cfg.target_vel, check_contact=cfg.check_contact,
+        subgoal_reward=cfg.subgoal_reward, goal_coeff=cfg.goal_coeff)
+    is_done = jax.vmap(lambda ts_, p, q, nf: tasks.done(
+        task_cfg, ts_, p, q, nf))(task_state, rs.phys.pos, rs.phys.quat,
+                                  nonfoot)
+    quat_xyzw = jax.vmap(maths.wxyz_to_xyzw)(rs.phys.quat)
+    rew, trackers = jax.vmap(
+        lambda ts_, qx, tq, d, sg, gp: tasks.reward(
+            task_cfg, ts_, qx, tq, d, sg, gp))(
+        task_state, quat_xyzw, rs.observed_torques, is_done,
+        states.terrain.subgoals, states.terrain.goal_pos)
+    is_done = is_done | ~jnp.isfinite(rew)
+    rew = jnp.where(jnp.isfinite(rew), rew,
+                    jnp.asarray(cfg.fall_reward, rew.dtype))
+    states = states.replace(
+        task=task_state.replace(subgoal_trackers=trackers),
+        step_counter=states.step_counter + 1)
+
+    if cfg.get_image:
+      do_capture = (states.step_counter % cfg.get_image_interval) == 0
+      captured = jax.vmap(lambda s: self._capture_frame(s, reset=False))(
+          states)
+      states = jax.tree.map(
+          lambda n, o: jnp.where(
+              do_capture.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+          if n.ndim else jnp.where(do_capture, n, o),
+          captured, states)
+    obs = jax.vmap(self._observation)(states)
+    obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+    return states, obs, rew, is_done, {}

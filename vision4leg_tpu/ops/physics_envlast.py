@@ -493,7 +493,8 @@ def substep(model: Model, st: Dict[str, jnp.ndarray], tau_j,
 
 def window(model: Model, rs: Dict[str, jnp.ndarray], action,
            dyn: Dict[str, jnp.ndarray], boxes, spheres, fric_ground,
-           fric_box, n_substeps: int, interpolate: bool = False
+           fric_box, n_substeps: int, interpolate: bool = False,
+           tau_ff=None, tau_mask=None
            ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
   """Full action-repeat window, env-last (a1.robot_step + the env's
   post-window contact read, fused).
@@ -503,6 +504,11 @@ def window(model: Model, rs: Dict[str, jnp.ndarray], action,
   action (12,E) motor commands; dyn: kp/kd/strength (12,E),
   motor_friction/joint_friction (E,), mass_scale/inertia_scale (B,E).
   boxes (K,8,E); spheres (Q,5,E) or None; fric_ground/fric_box (E,).
+  tau_ff/tau_mask (12,E), optional: HYBRID control for the MPC env —
+  per-joint torque = (1-mask)*PD(action) + mask*tau_ff (swing legs track
+  `action` under PD, stance legs apply the MPC feedforward torque; both
+  fixed across the window like the reference's per-tick hybrid command,
+  a1_sim.py Step).
   Returns (new rs, pen_end (P,2,E): [ground, obstacle] penetration of the
   post-window state — what envs/env.py step() feeds the contact-based
   termination).
@@ -525,6 +531,8 @@ def window(model: Model, rs: Dict[str, jnp.ndarray], action,
       cmd = action
     tau = motor_torques(st["q"], st["qd"], cmd, dyn["kp"], dyn["kd"],
                         dyn["strength"])
+    if tau_ff is not None:
+      tau = (1.0 - tau_mask) * tau + tau_mask * tau_ff
     st, _ = substep(model, st, tau, mass_e, inertia_e, damping_e,
                     coulomb_e, boxes, spheres, fric_ground, fric_box)
     rec = jnp.concatenate([st["q"], st["qd"], st["quat"], st["ang"]],

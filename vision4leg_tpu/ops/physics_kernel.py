@@ -76,7 +76,7 @@ def _dyn_to_envlast(dyn: a1.DynamicsParams) -> dict:
 
 def _window_math(model: Model, rs: a1.RobotState, command, dyn,
                  boxes, spheres, fric_ground, fric_box, n_substeps: int,
-                 interpolate: bool):
+                 interpolate: bool, tau_ff=None, tau_mask=None):
   """One env's full action-repeat window — env-first XLA fallback with
   semantics identical to a1.robot_step followed by the env's post-window
   contact read (flat ground + pruned boxes, CG solver)."""
@@ -101,6 +101,8 @@ def _window_math(model: Model, rs: a1.RobotState, command, dyn,
     else:
       cmd = command
     tau = a1.motor_torques(rs.phys.joint_q, rs.phys.joint_qd, cmd, dyn)
+    if tau_ff is not None:
+      tau = (1.0 - tau_mask) * tau + tau_mask * tau_ff
     phys, _, _ = engine.step(model_d, rs.phys, tau, cfn, solver="cg")
     hist = jnp.concatenate([a1._true_record(phys)[None], rs.obs_hist[:-1]],
                            axis=0)
@@ -120,7 +122,8 @@ def _window_math(model: Model, rs: a1.RobotState, command, dyn,
 def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
                         boxes, spheres, fric_ground, fric_box,
                         n_substeps: int, interpolate: bool = False,
-                        force_kernel: bool = False
+                        force_kernel: bool = False, tau_ff=None,
+                        tau_mask=None
                         ) -> Tuple[a1.RobotState, jnp.ndarray]:
   """Batched a1.robot_step window + post-window contact read (flat
   ground + per-env pruned boxes).
@@ -129,10 +132,14 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   (new RobotState, pen_end (E, P, 2) — [ground, obstacle] penetration of
   the post-window state, the contact input of tasks.done).
 
+  tau_ff/tau_mask (E, 12), optional: hybrid control (MPC env) — torque =
+  (1-mask)*PD(command) + mask*tau_ff, both fixed across the window.
+
   Uses the env-last Pallas mega-kernel on TPU when the env count divides
   TILE_E; otherwise the identical math runs as vmapped XLA.
   """
   E = command.shape[0]
+  hybrid = tau_ff is not None
 
   # multi-chip: GSPMD cannot partition a pallas_call over a sharded env
   # axis.  env.step_batch wraps this call in shard_map (one kernel per
@@ -141,10 +148,18 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   if (not HAS_PALLAS or jax.default_backend() not in ("tpu",)
       or (jax.device_count() > 1 and not force_kernel)
       or E % TILE_E != 0):
-    new_rs, pen_end = jax.vmap(
-        lambda r, c, d, b, sp, fg, fb: _window_math(
-            model, r, c, d, b, sp, fg, fb, n_substeps, interpolate))(
-            rs, command, dyn, boxes, spheres, fric_ground, fric_box)
+    if hybrid:
+      new_rs, pen_end = jax.vmap(
+          lambda r, c, d, b, sp, fg, fb, tf, tm: _window_math(
+              model, r, c, d, b, sp, fg, fb, n_substeps, interpolate,
+              tf, tm))(
+              rs, command, dyn, boxes, spheres, fric_ground, fric_box,
+              tau_ff, tau_mask)
+    else:
+      new_rs, pen_end = jax.vmap(
+          lambda r, c, d, b, sp, fg, fb: _window_math(
+              model, r, c, d, b, sp, fg, fb, n_substeps, interpolate))(
+              rs, command, dyn, boxes, spheres, fric_ground, fric_box)
     return new_rs, pen_end
 
   rs_el = _rs_to_envlast(rs)
@@ -174,7 +189,7 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   dyn_leaves = [to_tiles(dyn_el[k]) for k in DYN_KEYS]
   mdl_leaves, mdl_def = jax.tree_util.tree_flatten(model)
   n_rs, n_dyn, n_mdl = len(rs_leaves), len(dyn_leaves), len(mdl_leaves)
-  n_in = n_rs + 1 + n_dyn + n_mdl + 4
+  n_in = n_rs + 1 + n_dyn + n_mdl + 4 + (2 if hybrid else 0)
   cmd_el = to_tiles(jnp.moveaxis(command, 0, -1))
   boxes_el = to_tiles(jnp.moveaxis(boxes, 0, -1))
   # zero-width sphere arrays still need a nonzero minor dim for tiling
@@ -186,6 +201,8 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
   sph_el = to_tiles(jnp.moveaxis(spheres, 0, -1))
   fg_el = to_tiles(jnp.asarray(fric_ground))
   fb_el = to_tiles(jnp.asarray(fric_box))
+  hyb_el = ([to_tiles(jnp.moveaxis(tau_ff, 0, -1)),
+             to_tiles(jnp.moveaxis(tau_mask, 0, -1))] if hybrid else [])
 
   def kernel(*refs):
     ins = refs[:n_in]
@@ -208,8 +225,10 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
     sph = ins[pos + 1][0] if sph_valid else None
     fg = ins[pos + 2][0, 0]
     fb = ins[pos + 3][0, 0]
+    tff = ins[pos + 4][0] if hybrid else None
+    tmk = ins[pos + 5][0] if hybrid else None
     new_rs, pen_end = pe.window(mdl, rs_t, cmd, dyn_t, bxs, sph, fg, fb,
-                                n_substeps, interpolate)
+                                n_substeps, interpolate, tff, tmk)
     for o, k, one_d in zip(outs[:-1], RS_KEYS, rs_1d):
       v = new_rs[k].astype(o.dtype)
       o[:] = v[None, None] if one_d else v[None]
@@ -230,12 +249,12 @@ def robot_window_pallas(model: Model, rs: a1.RobotState, command, dyn,
                         memory_space=pltpu.VMEM)
 
   in_arrays = (rs_leaves + [cmd_el] + dyn_leaves + mdl_leaves
-               + [boxes_el, sph_el, fg_el, fb_el])
+               + [boxes_el, sph_el, fg_el, fb_el] + hyb_el)
   in_specs = ([tspec(x) for x in rs_leaves] + [tspec(cmd_el)]
               + [tspec(x) for x in dyn_leaves]
               + [fspec(x) for x in mdl_leaves]
               + [tspec(boxes_el), tspec(sph_el), tspec(fg_el),
-                 tspec(fb_el)])
+                 tspec(fb_el)] + [tspec(x) for x in hyb_el])
   out_arrays = rs_leaves + [jnp.zeros((T, model.ncp, 2, TILE_E),
                                       jnp.float32)]
   out_shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
