@@ -109,10 +109,15 @@ run() {
   return 1
 }
 
+# r5 session-2 reorder: vision_only first — it is the only family with
+# ZERO epochs ever (VERDICT Missing #2) and the VM rebuild wiped the
+# compile cache, so both MPC-family items pay a cold compile either way;
+# if the wall clock truncates the queue, vision_only evidence is worth
+# more than extending mpc_thin's existing 196-epoch curve.
+run vision_only_thin_5M 10800 starter/ppo_locotransformer_vision_only.py \
+    config/mpc_vision_only/locotransformer/thin.json 128 0 611
 run mpc_thin_10M 12600 starter/ppo_locotransformer.py \
     config/mpc/locotransformer/thin.json 128 0 1221
-run vision_only_thin_5M 9000 starter/ppo_locotransformer_vision_only.py \
-    config/mpc_vision_only/locotransformer/thin.json 128 0 611
 run bf16_thin_goal_T64_s1 2700 starter/ppo_locotransformer.py \
     config/rl/static/locotransformer/thin-goal.json 256 1 611 \
     V4L_BF16_COLLECT=1
