@@ -61,7 +61,18 @@ def _emit(final: bool = False) -> None:
     })
   if not final:
     _BEST["killed_early"] = True
-  print(json.dumps(_BEST), flush=True)
+  line = json.dumps(_BEST)
+  try:
+    print(line, flush=True)
+  except OSError:
+    # stdout pipe already torn down (driver killed the whole group):
+    # leave the line where a post-mortem can find it instead of letting
+    # BrokenPipeError unwind through the signal handler
+    try:
+      with open("/tmp/v4l_bench_last.json", "w") as f:
+        f.write(line + "\n")
+    except OSError:
+      pass
 
 
 def _on_term(signum, frame):  # noqa: ARG001
